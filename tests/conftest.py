@@ -1,0 +1,32 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so mesh
+sharding is exercised without TPU hardware (the JAX-idiomatic fake-backend
+pattern). Must run before jax is imported anywhere."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import numpy as np
+import pytest
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+WHEEL_DATASET = REFERENCE_ROOT / "datasets" / "nerf-raw" / "wheel_real_robot"
+
+
+@pytest.fixture(scope="session")
+def wheel_dataset():
+    if not WHEEL_DATASET.exists():
+        pytest.skip("reference wheel dataset not mounted")
+    return WHEEL_DATASET
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
