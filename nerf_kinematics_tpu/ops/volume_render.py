@@ -1,0 +1,83 @@
+"""Volume-rendering compositing (the classic ``raw2outputs``).
+
+Reference semantics: α = 1 - exp(-softplus-free ReLU(σ + noise)·δ),
+transmittance as an exclusive cumulative product, RGB/depth/disparity/acc
+maps, training-time density noise regularizer, optional white background
+(config surface: radiance_field_noise_std, white_background in
+trained_models/nerf-pytorch/*/config.yml:53-54).
+
+The cumprod is expressed with ``jnp.cumprod`` on a statically-shaped sample
+axis — XLA lowers it to an associative scan that stays fused with the
+surrounding elementwise math on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class RenderOutputs(NamedTuple):
+    rgb: jnp.ndarray  # (..., 3)
+    disp: jnp.ndarray  # (...,)
+    acc: jnp.ndarray  # (...,)
+    weights: jnp.ndarray  # (..., S)
+    depth: jnp.ndarray  # (...,)
+
+
+def raw2outputs(
+    raw_rgb,
+    raw_sigma,
+    z_vals,
+    rays_d,
+    noise_std: float = 0.0,
+    white_background: bool = False,
+    noise_key: Optional[jax.Array] = None,
+) -> RenderOutputs:
+    """Composite per-sample radiance/density into per-ray maps.
+
+    Args:
+      raw_rgb: (..., S, 3) pre-sigmoid color logits.
+      raw_sigma: (..., S) pre-activation density.
+      z_vals: (..., S) sample depths along each ray.
+      rays_d: (..., 3) (unnormalized) ray directions — δ intervals are scaled
+        by ||d|| so density is in world units.
+      noise_std: stddev of Gaussian noise added to σ before ReLU (training
+        regularizer; 0 disables).
+      white_background: composite onto white.
+      noise_key: PRNG key, required when noise_std > 0.
+    """
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    # Last interval is unbounded (classic 1e10 sentinel).
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1
+    )
+    dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    sigma = raw_sigma
+    if noise_std > 0.0:
+        if noise_key is None:
+            raise ValueError("noise_std > 0 requires noise_key")
+        sigma = sigma + noise_std * jax.random.normal(
+            noise_key, sigma.shape, dtype=sigma.dtype
+        )
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+
+    # Exclusive cumprod of (1 - α): transmittance before each sample.
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    weights = alpha * trans
+
+    rgb = jax.nn.sigmoid(raw_rgb)
+    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+    acc_map = jnp.sum(weights, axis=-1)
+    disp_map = 1.0 / jnp.maximum(
+        1e-10, depth_map / jnp.maximum(acc_map, 1e-10)
+    )
+    if white_background:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+
+    return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)

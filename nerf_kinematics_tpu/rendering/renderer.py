@@ -1,0 +1,189 @@
+"""Hierarchical coarse→fine volume rendering.
+
+The classic-NeRF render path (reference call stack: SURVEY.md §3.2 —
+stratified sample → coarse MLP → raw2outputs → sample_pdf → fine MLP →
+raw2outputs), written as pure jittable functions over parameter pytrees.
+
+TPU notes: the whole per-ray pipeline is one jit region — positional encoding
+and compositing fuse into the MLP matmuls; the sample axis is static so XLA
+tiles the batched MLP onto the MXU. Full-image rendering is chunked with
+``jax.lax.map`` over fixed-size ray chunks (bounded memory, single compile).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sampling import hierarchical_sample, stratified_sample
+from ..ops.volume_render import RenderOutputs, raw2outputs
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    """Per-phase rendering options (reference YAML: nerf.train / nerf.validation)."""
+
+    num_coarse: int = 64
+    num_fine: int = 0
+    perturb: bool = True
+    lindisp: bool = False
+    radiance_field_noise_std: float = 0.0
+    white_background: bool = False
+    chunksize: int = 131072
+
+    @classmethod
+    def from_cfg(cls, d: dict) -> "RenderSettings":
+        keys = set(cls.__dataclass_fields__)
+        return cls(**{k: v for k, v in d.items() if k in keys})
+
+
+def _query(apply_fn, params, pts, viewdirs):
+    """Query the radiance field at (..., S, 3) points with per-ray viewdirs."""
+    if viewdirs is not None:
+        vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
+    else:
+        vd = None
+    return apply_fn(params, pts, vd)
+
+
+def render_rays(
+    params_coarse: Any,
+    apply_coarse: Callable,
+    rays_o,
+    rays_d,
+    near,
+    far,
+    settings: RenderSettings,
+    key: Optional[jax.Array] = None,
+    params_fine: Any = None,
+    apply_fine: Optional[Callable] = None,
+    use_viewdirs: bool = True,
+):
+    """Render a batch of rays. Returns (coarse: RenderOutputs, fine: RenderOutputs | None).
+
+    ``near``/``far`` may be scalars or (N,) per-ray arrays.
+    """
+    n_rays = rays_o.shape[0]
+    deterministic = not settings.perturb
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_strat, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
+
+    viewdirs = None
+    if use_viewdirs:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    z_coarse = stratified_sample(
+        k_strat,
+        n_rays,
+        settings.num_coarse,
+        near,
+        far,
+        perturb=settings.perturb,
+        lindisp=settings.lindisp,
+    )
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_coarse[..., :, None]
+    raw_rgb, raw_sigma = _query(apply_coarse, params_coarse, pts, viewdirs)
+    noise = settings.radiance_field_noise_std
+    coarse = raw2outputs(
+        raw_rgb,
+        raw_sigma,
+        z_coarse,
+        rays_d,
+        noise_std=noise,
+        white_background=settings.white_background,
+        noise_key=k_noise_c if noise > 0 else None,
+    )
+
+    fine = None
+    if settings.num_fine > 0:
+        pf = params_fine if params_fine is not None else params_coarse
+        af = apply_fine if apply_fine is not None else apply_coarse
+        z_all = hierarchical_sample(
+            k_pdf,
+            z_coarse,
+            jax.lax.stop_gradient(coarse.weights),
+            settings.num_fine,
+            deterministic=deterministic,
+        )
+        pts_f = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
+        raw_rgb_f, raw_sigma_f = _query(af, pf, pts_f, viewdirs)
+        fine = raw2outputs(
+            raw_rgb_f,
+            raw_sigma_f,
+            z_all,
+            rays_d,
+            noise_std=noise,
+            white_background=settings.white_background,
+            noise_key=k_noise_f if noise > 0 else None,
+        )
+
+    return coarse, fine
+
+
+def render_image(
+    params_coarse,
+    apply_coarse,
+    rays_o,
+    rays_d,
+    near,
+    far,
+    settings: RenderSettings,
+    params_fine=None,
+    apply_fine=None,
+    use_viewdirs: bool = True,
+    chunk_rays: Optional[int] = None,
+):
+    """Render an (H, W) image by mapping ``render_rays`` over fixed-size ray
+    chunks (lax.map ⇒ one compiled program, serial chunks, bounded memory).
+
+    The pixel count is padded up to a whole number of chunks; padding rays are
+    rendered and discarded (static shapes beat a ragged tail on TPU).
+    Returns an (H, W, 3) rgb image plus (H, W) disp/acc/depth maps from the
+    finest available model.
+    """
+    H, W = rays_o.shape[:2]
+    n = H * W
+    chunk = chunk_rays or max(settings.chunksize // max(settings.num_coarse + settings.num_fine, 1), 1)
+    chunk = min(chunk, n)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    flat_o = jnp.concatenate([rays_o.reshape(-1, 3), jnp.ones((pad, 3), rays_o.dtype)])
+    flat_d = jnp.concatenate([rays_d.reshape(-1, 3), jnp.ones((pad, 3), rays_d.dtype)])
+    chunks_o = flat_o.reshape(n_chunks, chunk, 3)
+    chunks_d = flat_d.reshape(n_chunks, chunk, 3)
+
+    eval_settings = settings if not settings.perturb else RenderSettings(
+        **{**settings.__dict__, "perturb": False, "radiance_field_noise_std": 0.0}
+    )
+
+    def _one(chunk_rays_od):
+        o, d = chunk_rays_od
+        coarse, fine = render_rays(
+            params_coarse,
+            apply_coarse,
+            o,
+            d,
+            near,
+            far,
+            eval_settings,
+            key=None,
+            params_fine=params_fine,
+            apply_fine=apply_fine,
+            use_viewdirs=use_viewdirs,
+        )
+        out = fine if fine is not None else coarse
+        return out.rgb, out.disp, out.acc, out.depth
+
+    rgb, disp, acc, depth = jax.lax.map(_one, (chunks_o, chunks_d))
+    unpad = lambda x, ch: x.reshape(-1, *ch)[:n].reshape(H, W, *ch)
+    return {
+        "rgb": unpad(rgb, (3,)),
+        "disp": unpad(disp, ()),
+        "acc": unpad(acc, ()),
+        "depth": unpad(depth, ()),
+    }

@@ -1,0 +1,5 @@
+"""Training: config system, jitted train step, optimization, validation."""
+
+from .config import Config, load_config
+
+__all__ = ["Config", "load_config"]

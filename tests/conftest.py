@@ -4,12 +4,22 @@ pattern). Must run before jax is imported anywhere."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when a TPU plugin's sitecustomize has already registered a
+# backend and set jax_platforms at interpreter startup: hard-assign the env
+# var, request 8 virtual CPU devices, and override via jax.config (which wins
+# over whatever the plugin's register() configured). Must run before any
+# backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on virtual CPU devices"
 
 import pathlib
 
