@@ -1,0 +1,41 @@
+"""Dataset loaders: blender / llff (NDC) / robot (FK capture) / ngp transforms.
+
+Loader registry mirrors the reference's ``dataset.type`` config values
+(trained_models/nerf-pytorch/*/config.yml: ``type: blender`` / ``type: robot``;
+llff evidenced by ``no_ndc``/``llffhold`` knobs; ngp transforms.json by
+instant-ngp's nerf_loader.cu).
+"""
+
+from .types import NerfDataset
+from .blender import load_blender
+from .llff import load_llff
+from .robot import load_robot
+from .ngp_transforms import load_ngp_transforms
+from .synthetic import make_synthetic_scene
+
+LOADERS = {
+    "blender": load_blender,
+    "llff": load_llff,
+    "robot": load_robot,
+    "ngp": load_ngp_transforms,
+    "synthetic": make_synthetic_scene,
+}
+
+
+def load_dataset(cfg) -> NerfDataset:
+    """Load the dataset described by a DatasetConfig."""
+    if cfg.type not in LOADERS:
+        raise ValueError(f"unknown dataset type {cfg.type!r}; have {sorted(LOADERS)}")
+    return LOADERS[cfg.type](cfg)
+
+
+__all__ = [
+    "NerfDataset",
+    "load_dataset",
+    "load_blender",
+    "load_llff",
+    "load_robot",
+    "load_ngp_transforms",
+    "make_synthetic_scene",
+    "LOADERS",
+]

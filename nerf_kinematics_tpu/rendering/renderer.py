@@ -61,10 +61,13 @@ def render_rays(
     params_fine: Any = None,
     apply_fine: Optional[Callable] = None,
     use_viewdirs: bool = True,
+    viewdirs=None,
 ):
     """Render a batch of rays. Returns (coarse: RenderOutputs, fine: RenderOutputs | None).
 
-    ``near``/``far`` may be scalars or (N,) per-ray arrays.
+    ``near``/``far`` may be scalars or (N,) per-ray arrays. ``viewdirs``
+    overrides the default normalize(rays_d) — needed for NDC-warped rays,
+    whose view direction must come from the pre-warp rays.
     """
     n_rays = rays_o.shape[0]
     deterministic = not settings.perturb
@@ -72,9 +75,10 @@ def render_rays(
         key = jax.random.PRNGKey(0)
     k_strat, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
 
-    viewdirs = None
-    if use_viewdirs:
+    if use_viewdirs and viewdirs is None:
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    elif not use_viewdirs:
+        viewdirs = None
 
     z_coarse = stratified_sample(
         k_strat,
@@ -136,6 +140,7 @@ def render_image(
     apply_fine=None,
     use_viewdirs: bool = True,
     chunk_rays: Optional[int] = None,
+    viewdirs=None,
 ):
     """Render an (H, W) image by mapping ``render_rays`` over fixed-size ray
     chunks (lax.map ⇒ one compiled program, serial chunks, bounded memory).
@@ -152,17 +157,22 @@ def render_image(
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
 
-    flat_o = jnp.concatenate([rays_o.reshape(-1, 3), jnp.ones((pad, 3), rays_o.dtype)])
-    flat_d = jnp.concatenate([rays_d.reshape(-1, 3), jnp.ones((pad, 3), rays_d.dtype)])
-    chunks_o = flat_o.reshape(n_chunks, chunk, 3)
-    chunks_d = flat_d.reshape(n_chunks, chunk, 3)
+    def _chunked(x):
+        flat = jnp.concatenate([x.reshape(-1, 3), jnp.ones((pad, 3), x.dtype)])
+        return flat.reshape(n_chunks, chunk, 3)
+
+    chunks_o, chunks_d = _chunked(rays_o), _chunked(rays_d)
+    chunks_vd = _chunked(viewdirs) if viewdirs is not None else None
 
     eval_settings = settings if not settings.perturb else RenderSettings(
         **{**settings.__dict__, "perturb": False, "radiance_field_noise_std": 0.0}
     )
 
-    def _one(chunk_rays_od):
-        o, d = chunk_rays_od
+    def _one(chunk_args):
+        if chunks_vd is not None:
+            o, d, vd = chunk_args
+        else:
+            (o, d), vd = chunk_args, None
         coarse, fine = render_rays(
             params_coarse,
             apply_coarse,
@@ -175,11 +185,13 @@ def render_image(
             params_fine=params_fine,
             apply_fine=apply_fine,
             use_viewdirs=use_viewdirs,
+            viewdirs=vd,
         )
         out = fine if fine is not None else coarse
         return out.rgb, out.disp, out.acc, out.depth
 
-    rgb, disp, acc, depth = jax.lax.map(_one, (chunks_o, chunks_d))
+    mapped = (chunks_o, chunks_d) if chunks_vd is None else (chunks_o, chunks_d, chunks_vd)
+    rgb, disp, acc, depth = jax.lax.map(_one, mapped)
     unpad = lambda x, ch: x.reshape(-1, *ch)[:n].reshape(H, W, *ch)
     return {
         "rgb": unpad(rgb, (3,)),

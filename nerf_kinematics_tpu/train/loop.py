@@ -1,0 +1,215 @@
+"""Jitted training step and state for the classic-NeRF engine.
+
+TPU-first design (contrast with the reference's host-side ray cache +
+chunked queries, SURVEY.md §3.2): the entire step — random ray selection,
+pixel gather, ray generation, optional NDC warp, coarse+fine hierarchical
+render, loss, Adam update — is ONE jit region. Images and poses live on
+device, so steady-state training moves zero bytes host↔device. Under a mesh,
+the ray batch is sharded over the ``data`` axis with params replicated; XLA
+derives the gradient psum over ICI from the sharding annotations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..cameras.rays import ndc_rays
+from ..models.flexible_nerf import FlexibleNeRF
+from ..parallel.mesh import shard_batch
+from ..rendering.renderer import render_rays
+from .config import Config
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray  # scalar int32
+    params: Any  # {'coarse': pytree, 'fine': pytree | None}
+    opt_state: Any
+    key: jax.Array
+
+
+def lr_schedule(cfg: Config):
+    """Exponential decay: lr0 * factor^(step / (lr_decay * 1000)) — the
+    classic-NeRF rule behind scheduler.{lr_decay, lr_decay_factor}."""
+    base = cfg.optimizer.lr
+    decay_steps = cfg.scheduler.lr_decay * 1000
+
+    def sched(step):
+        return base * cfg.scheduler.lr_decay_factor ** (step / decay_steps)
+
+    return sched
+
+
+def make_optimizer(cfg: Config):
+    if cfg.optimizer.type.lower() != "adam":
+        raise ValueError(f"unsupported optimizer {cfg.optimizer.type!r}")
+    return optax.adam(learning_rate=lr_schedule(cfg))
+
+
+class ClassicNerf:
+    """Classic-NeRF engine: coarse(+fine) FlexibleNeRF with hierarchical
+    sampling, built from a reference-schema Config."""
+
+    def __init__(self, cfg: Config, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.model_coarse = FlexibleNeRF(cfg.model_coarse)
+        self.model_fine = (
+            FlexibleNeRF(cfg.model_fine) if cfg.model_fine is not None else None
+        )
+        self.optimizer = make_optimizer(cfg)
+
+    # -- init ---------------------------------------------------------------
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        seed = self.cfg.experiment.randomseed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        k_c, k_f, k_loop = jax.random.split(key, 3)
+        x = jnp.zeros((1, 3))
+        vd = x if self.cfg.nerf.use_viewdirs else None
+        params = {"coarse": self.model_coarse.init(k_c, x, vd)}
+        if self.model_fine is not None:
+            params["fine"] = self.model_fine.init(k_f, x, vd)
+        opt_state = self.optimizer.init(params)
+        return TrainState(jnp.int32(0), params, opt_state, k_loop)
+
+    def apply_coarse(self, params, pts, vd):
+        return self.model_coarse.apply(params, pts, vd)
+
+    def apply_fine(self, params, pts, vd):
+        model = self.model_fine if self.model_fine is not None else self.model_coarse
+        return model.apply(params, pts, vd)
+
+    # -- training -----------------------------------------------------------
+    def make_train_step(self, intrinsics, near, far, use_ndc: bool, donate: bool = True):
+        """Build the jitted train step closed over static scene geometry.
+
+        Signature: (state, images, poses) -> (state, metrics). ``images``
+        (N, H, W, 3) and ``poses`` (N, 4, 4) are device arrays.
+        """
+        cfg = self.cfg
+        settings = cfg.nerf.train
+        n_rays = cfg.nerf.num_random_rays
+        fl_x, fl_y = intrinsics.fl_x, intrinsics.fl_y
+        cx, cy = intrinsics.cx, intrinsics.cy
+        H, W = intrinsics.height, intrinsics.width
+        mesh = self.mesh
+        use_viewdirs = cfg.nerf.use_viewdirs
+        has_fine = self.model_fine is not None and settings.num_fine > 0
+
+        def loss_fn(params, batch, key):
+            rays_o, rays_d, viewdirs, target = batch
+            coarse, fine = render_rays(
+                params["coarse"],
+                self.apply_coarse,
+                rays_o,
+                rays_d,
+                near,
+                far,
+                settings,
+                key=key,
+                params_fine=params.get("fine"),
+                apply_fine=self.apply_fine if has_fine else None,
+                use_viewdirs=use_viewdirs,
+                viewdirs=viewdirs,
+            )
+            loss_c = jnp.mean((coarse.rgb - target) ** 2)
+            loss = loss_c
+            loss_f = loss_c
+            if fine is not None:
+                loss_f = jnp.mean((fine.rgb - target) ** 2)
+                loss = loss + loss_f
+            return loss, (loss_c, loss_f)
+
+        def sample_batch(key, images, poses):
+            n_img = images.shape[0]
+            k_img, k_row, k_col = jax.random.split(key, 3)
+            img = jax.random.randint(k_img, (n_rays,), 0, n_img)
+            row = jax.random.randint(k_row, (n_rays,), 0, H)
+            col = jax.random.randint(k_col, (n_rays,), 0, W)
+            target = images[img, row, col]
+            c2w = poses[img]
+
+            dirs_cam = jnp.stack(
+                [
+                    (col.astype(jnp.float32) - cx) / fl_x,
+                    -(row.astype(jnp.float32) - cy) / fl_y,
+                    -jnp.ones((n_rays,), jnp.float32),
+                ],
+                axis=-1,
+            )
+            rays_d = jnp.einsum("nij,nj->ni", c2w[:, :3, :3], dirs_cam)
+            rays_o = c2w[:, :3, 3]
+            viewdirs = None
+            if use_viewdirs:
+                viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+            if use_ndc:
+                rays_o, rays_d = ndc_rays(H, W, fl_x, 1.0, rays_o, rays_d)
+            # Shard the ray batch over the mesh data axis.
+            rays_o = shard_batch(rays_o, mesh)
+            rays_d = shard_batch(rays_d, mesh)
+            target = shard_batch(target, mesh)
+            if viewdirs is not None:
+                viewdirs = shard_batch(viewdirs, mesh)
+            return rays_o, rays_d, viewdirs, target
+
+        def train_step(state: TrainState, images, poses):
+            key, k_batch, k_render = jax.random.split(state.key, 3)
+            batch = sample_batch(k_batch, images, poses)
+            (loss, (loss_c, loss_f)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, batch, k_render)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            metrics = {
+                "loss": loss,
+                "loss_coarse": loss_c,
+                "loss_fine": loss_f,
+                "psnr": -10.0 * jnp.log10(jnp.maximum(loss_f, 1e-12)),
+            }
+            return TrainState(state.step + 1, params, opt_state, key), metrics
+
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    # -- evaluation ---------------------------------------------------------
+    def make_render_fn(self, intrinsics, near, far, use_ndc: bool):
+        """Jitted full-image renderer: (params, c2w) -> maps dict."""
+        from ..cameras.rays import get_rays
+        from ..rendering.renderer import render_image
+
+        cfg = self.cfg
+        settings = cfg.nerf.validation
+        H, W = intrinsics.height, intrinsics.width
+        has_fine = self.model_fine is not None and settings.num_fine > 0
+
+        @jax.jit
+        def render_view(params, c2w):
+            rays_o, rays_d = get_rays(
+                H, W, intrinsics.fl_x, c2w, cx=intrinsics.cx,
+                cy=intrinsics.cy, focal_y=intrinsics.fl_y,
+            )
+            viewdirs = None
+            if cfg.nerf.use_viewdirs:
+                viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+            if use_ndc:
+                rays_o, rays_d = ndc_rays(H, W, intrinsics.fl_x, 1.0, rays_o, rays_d)
+            return render_image(
+                params["coarse"],
+                self.apply_coarse,
+                rays_o,
+                rays_d,
+                near,
+                far,
+                settings,
+                params_fine=params.get("fine"),
+                apply_fine=self.apply_fine if has_fine else None,
+                use_viewdirs=cfg.nerf.use_viewdirs,
+                viewdirs=viewdirs,
+            )
+
+        return render_view

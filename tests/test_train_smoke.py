@@ -1,0 +1,83 @@
+"""End-to-end smoke: a tiny classic-NeRF run on the procedural synthetic scene
+must converge (loss down, PSNR up) — the minimum end-to-end slice of
+SURVEY.md §7 step 3, sized for CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_kinematics_tpu.data import make_synthetic_scene
+from nerf_kinematics_tpu.metrics import psnr
+from nerf_kinematics_tpu.models.flexible_nerf import FlexibleNeRFConfig
+from nerf_kinematics_tpu.rendering.renderer import RenderSettings
+from nerf_kinematics_tpu.train.config import Config, NeRFConfig, OptimizerConfig
+from nerf_kinematics_tpu.train.loop import ClassicNerf
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    ds = make_synthetic_scene(n_views=9, resolution=32)
+    small = FlexibleNeRFConfig(
+        num_layers=8, hidden_size=64, num_encoding_fn_xyz=6, num_encoding_fn_dir=4
+    )
+    cfg = Config(
+        model_coarse=small,
+        model_fine=None,
+        nerf=NeRFConfig(
+            train=RenderSettings(num_coarse=32, num_fine=0, perturb=True),
+            validation=RenderSettings(num_coarse=32, num_fine=0, perturb=False),
+            num_random_rays=512,
+        ),
+        optimizer=OptimizerConfig(lr=5e-3),
+    )
+    engine = ClassicNerf(cfg)
+    state = engine.init_state(seed=0)
+    return ds, engine, state
+
+
+def test_train_step_decreases_loss(tiny_setup):
+    ds, engine, state = tiny_setup
+    images = jnp.asarray(ds.images)
+    poses = jnp.asarray(ds.poses)
+    step = engine.make_train_step(ds.intrinsics, ds.near, ds.far, ds.use_ndc, donate=False)
+
+    first_loss = None
+    for i in range(150):
+        state, metrics = step(state, images, poses)
+        if i == 0:
+            first_loss = float(metrics["loss"])
+    last_loss = float(metrics["loss"])
+    assert np.isfinite(first_loss) and np.isfinite(last_loss)
+    assert last_loss < first_loss * 0.5, (first_loss, last_loss)
+
+    # Validation render beats a gray-image baseline PSNR by a clear margin.
+    render = engine.make_render_fn(ds.intrinsics, ds.near, ds.far, ds.use_ndc)
+    val_img = np.asarray(render(state.params, poses[int(ds.val_idx[0])])["rgb"])
+    gt = ds.images[int(ds.val_idx[0])]
+    p = psnr(val_img, gt)
+    baseline = psnr(np.full_like(gt, gt.mean()), gt)
+    assert p > baseline + 2.0, (p, baseline)
+    assert p > 14.0, p
+
+
+def test_train_metrics_finite_and_psnr_consistent(tiny_setup):
+    ds, engine, state = tiny_setup
+    images = jnp.asarray(ds.images)
+    poses = jnp.asarray(ds.poses)
+    step = engine.make_train_step(ds.intrinsics, ds.near, ds.far, ds.use_ndc, donate=False)
+    state, m = step(state, images, poses)
+    assert np.isfinite(float(m["loss"]))
+    np.testing.assert_allclose(
+        float(m["psnr"]), -10 * np.log10(float(m["loss_fine"])), rtol=1e-5
+    )
+
+
+def test_lr_schedule_decay():
+    from nerf_kinematics_tpu.train.loop import lr_schedule
+
+    cfg = Config()
+    sched = lr_schedule(cfg)
+    assert sched(0) == pytest.approx(cfg.optimizer.lr)
+    # After lr_decay*1000 steps, lr has decayed by lr_decay_factor.
+    assert sched(250_000) == pytest.approx(cfg.optimizer.lr * 0.1)
