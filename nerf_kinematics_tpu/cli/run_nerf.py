@@ -1,0 +1,114 @@
+"""CLI: train/evaluate the classic-NeRF engine from a YAML config.
+
+Reference-compatible invocation (README.md:92, BASELINE.json config 1):
+
+    python run_nerf.py --config configs/lego.yml
+
+Extra subcommand-style flags:
+    --eval            render + PSNR the validation split from latest checkpoint
+    --render-video    render the dataset's novel-view path to PNGs
+    --max-iters N     override experiment.train_iters (smoke runs)
+    --mesh            enable multi-device data parallelism over the ray batch
+    --export-legacy   also write torch-layout checkpoint{iter}.ckpt files
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train/evaluate classic NeRF (TPU-native)")
+    p.add_argument("--config", required=True, help="Path to YAML config (reference schema)")
+    p.add_argument("--eval", action="store_true", help="Evaluate instead of train")
+    p.add_argument("--render-video", action="store_true", help="Render novel-view path")
+    p.add_argument("--load-checkpoint", default=None, help="Checkpoint step or legacy .ckpt path")
+    p.add_argument("--max-iters", type=int, default=None, help="Override train_iters")
+    p.add_argument("--mesh", action="store_true", help="Shard rays over all devices")
+    p.add_argument("--export-legacy", action="store_true", help="Write torch-layout ckpts too")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from ..train.config import load_config
+    from ..train.trainer import Trainer
+
+    cfg = load_config(args.config)
+    trainer = Trainer(cfg, use_mesh=args.mesh, export_legacy=args.export_legacy)
+
+    if args.eval:
+        state = _load_state(trainer, args.load_checkpoint)
+        v = trainer.validate(state)
+        print(f"val_loss={v.get('val_loss'):.6f} val_psnr={v.get('val_psnr'):.3f} dB")
+        _save_val_images(trainer, v)
+        return
+
+    if args.render_video:
+        state = _load_state(trainer, args.load_checkpoint)
+        _render_video(trainer, state)
+        return
+
+    result = trainer.fit(max_iters=args.max_iters)
+    if result.val_psnr is not None:
+        print(f"final val_psnr={result.val_psnr:.3f} dB")
+    if result.rays_per_sec is not None:
+        print(f"throughput={result.rays_per_sec:.0f} rays/s")
+    trainer.close()
+
+
+def _load_state(trainer, load_checkpoint):
+    import jax
+
+    state = trainer.engine.init_state()
+    if load_checkpoint and os.path.isfile(load_checkpoint):
+        from ..io.torch_compat import import_legacy_checkpoint
+
+        legacy = import_legacy_checkpoint(load_checkpoint)
+        params = dict(state.params)
+        params["coarse"] = legacy["params_coarse"]
+        if legacy["params_fine"] is not None and "fine" in params:
+            params["fine"] = legacy["params_fine"]
+        state = state._replace(params=params, step=jax.numpy.int32(legacy["step"]))
+        return state
+    restored, step = trainer.ckpt.restore(
+        state, int(load_checkpoint) if load_checkpoint else None
+    )
+    return restored if restored is not None else state
+
+
+def _save_val_images(trainer, v):
+    if "val_image" not in v:
+        return
+    import numpy as np
+    from PIL import Image
+
+    outdir = os.path.join(trainer.rundir, "renders")
+    os.makedirs(outdir, exist_ok=True)
+    img = np.clip(v["val_image"] * 255, 0, 255).astype(np.uint8)
+    Image.fromarray(img).save(os.path.join(outdir, "val.png"))
+    print(f"wrote {outdir}/val.png")
+
+
+def _render_video(trainer, state):
+    import numpy as np
+    from PIL import Image
+
+    poses = trainer.dataset.render_poses
+    if poses is None:
+        raise SystemExit("dataset has no render path (no *_test_video.json / spiral)")
+    outdir = os.path.join(trainer.rundir, "video")
+    os.makedirs(outdir, exist_ok=True)
+    import jax.numpy as jnp
+
+    for i, pose in enumerate(poses):
+        out = trainer._render(state.params, jnp.asarray(pose))
+        img = np.clip(np.asarray(out["rgb"]) * 255, 0, 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(outdir, f"frame_{i:04d}.png"))
+    print(f"wrote {len(poses)} frames to {outdir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,7 +56,6 @@ def make_synthetic_scene(
 ) -> NerfDataset:
     """Build the synthetic dataset; ``cfg`` may override via attributes."""
     if cfg is not None:
-        n_views = int(getattr(cfg, "testskip", 0)) or n_views  # unused knobs ignored
         near = float(getattr(cfg, "near", near))
         far = float(getattr(cfg, "far", far))
 

@@ -1,0 +1,171 @@
+"""Training orchestration: dataset → engine → loop with validation,
+checkpointing (auto-resume), metric logging, throughput counters.
+
+Covers the reference's experiment loop semantics (SURVEY.md §3.2):
+``print_every`` console scalars, ``validate_every`` full held-out-image
+renders with PSNR, ``save_every`` checkpoints named by iteration, TensorBoard
+scalars train/val x loss/psnr — plus rays/sec throughput (the BASELINE.json
+north-star metric) and optional legacy torch-layout checkpoint export.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import load_dataset
+from ..data.types import NerfDataset
+from ..io.checkpoint import CheckpointManager
+from ..metrics.psnr import psnr
+from ..metrics.writer import ScalarWriter
+from ..parallel.mesh import make_mesh, replicated_sharding
+from ..utils.logging import get_logger, progress, success
+from .config import Config
+from .loop import ClassicNerf, TrainState
+
+log = get_logger("train")
+
+
+@dataclass
+class TrainResult:
+    state: TrainState
+    last_metrics: dict = field(default_factory=dict)
+    val_psnr: Optional[float] = None
+    rays_per_sec: Optional[float] = None
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        dataset: Optional[NerfDataset] = None,
+        use_mesh: bool = False,
+        export_legacy: bool = False,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset if dataset is not None else load_dataset(cfg.dataset)
+        self.mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+        self.engine = ClassicNerf(cfg, mesh=self.mesh)
+        self.export_legacy = export_legacy
+
+        exp = cfg.experiment
+        self.rundir = os.path.join(exp.logdir, exp.id)
+        os.makedirs(self.rundir, exist_ok=True)
+        self.writer = ScalarWriter(self.rundir)
+        self.ckpt = CheckpointManager(os.path.join(self.rundir, "checkpoints"))
+
+        ds = self.dataset
+        self._train_step = self.engine.make_train_step(
+            ds.intrinsics, ds.near, ds.far, ds.use_ndc
+        )
+        self._render = self.engine.make_render_fn(
+            ds.intrinsics, ds.near, ds.far, ds.use_ndc
+        )
+
+        # Device-resident training data (train split only).
+        imgs, poses = ds.split("train")
+        self.images = jnp.asarray(imgs)
+        self.poses = jnp.asarray(poses)
+        if self.mesh is not None:
+            rep = replicated_sharding(self.mesh)
+            self.images = jax.device_put(self.images, rep)
+            self.poses = jax.device_put(self.poses, rep)
+
+    # ------------------------------------------------------------------
+    def init_or_resume(self) -> TrainState:
+        state = self.engine.init_state()
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated_sharding(self.mesh))
+        restored, step = self.ckpt.restore(state)
+        if restored is not None:
+            log.info("resumed from checkpoint at step %d", step)
+            return restored
+        return state
+
+    def validate(self, state: TrainState) -> dict:
+        ds = self.dataset
+        if len(ds.val_idx) == 0:
+            return {}
+        i = int(ds.val_idx[0])
+        out = self._render(state.params, jnp.asarray(ds.poses[i]))
+        pred = np.asarray(out["rgb"])
+        gt = ds.images[i]
+        val_mse = float(np.mean((pred - gt) ** 2))
+        return {
+            "val_loss": val_mse,
+            "val_psnr": psnr(pred, gt),
+            "val_image": pred,
+        }
+
+    def fit(self, max_iters: Optional[int] = None) -> TrainResult:
+        cfg, exp = self.cfg, self.cfg.experiment
+        total = max_iters if max_iters is not None else exp.train_iters
+        state = self.init_or_resume()
+        start_step = int(state.step)
+
+        n_rays = cfg.nerf.num_random_rays
+        t0 = time.perf_counter()
+        rays_per_sec = None
+        last_metrics: dict = {}
+        val_psnr = None
+
+        for it in range(start_step + 1, total + 1):
+            state, metrics = self._train_step(state, self.images, self.poses)
+
+            if it % exp.print_every == 0 or it == total:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                last_metrics = metrics
+                dt = time.perf_counter() - t0
+                steps_done = it - start_step
+                rays_per_sec = steps_done * n_rays / max(dt, 1e-9)
+                progress(
+                    log,
+                    "iter %d/%d loss %.5f psnr %.2f | %.0f rays/s",
+                    it, total, metrics["loss"], metrics["psnr"], rays_per_sec,
+                )
+                self.writer.scalar("train/loss", metrics["loss"], it)
+                self.writer.scalar("train/psnr", metrics["psnr"], it)
+                self.writer.scalar("perf/rays_per_sec", rays_per_sec, it)
+
+            if exp.validate_every > 0 and (it % exp.validate_every == 0 or it == total):
+                v = self.validate(state)
+                if v:
+                    val_psnr = v["val_psnr"]
+                    self.writer.scalar("val/loss", v["val_loss"], it)
+                    self.writer.scalar("val/psnr", v["val_psnr"], it)
+                    progress(log, "iter %d validation psnr %.2f dB", it, val_psnr)
+
+            if exp.save_every > 0 and (it % exp.save_every == 0 or it == total):
+                self.save_checkpoint(state, it, last_metrics, val_psnr)
+
+        self.writer.flush()
+        success(log, "training done at step %d (val psnr %s)", total,
+                f"{val_psnr:.2f}" if val_psnr is not None else "n/a")
+        return TrainResult(state, last_metrics, val_psnr, rays_per_sec)
+
+    def save_checkpoint(self, state: TrainState, it: int, metrics: dict,
+                        val_psnr: Optional[float]) -> None:
+        self.ckpt.save(it, state, metrics)
+        if self.export_legacy:
+            from ..io.torch_compat import export_legacy_checkpoint
+
+            path = os.path.join(self.rundir, f"checkpoint{it}.ckpt")
+            export_legacy_checkpoint(
+                path,
+                it,
+                jax.device_get(state.params["coarse"]),
+                jax.device_get(state.params["fine"]) if "fine" in state.params else None,
+                loss=metrics.get("loss"),
+                psnr=val_psnr,
+            )
+        progress(log, "saved checkpoint at iter %d", it)
+
+    def close(self):
+        self.writer.close()
+        self.ckpt.close()

@@ -1,0 +1,97 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh: ray-batch
+data parallelism with replicated params (SURVEY.md §7 step 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_kinematics_tpu.data import make_synthetic_scene
+from nerf_kinematics_tpu.models.flexible_nerf import FlexibleNeRFConfig
+from nerf_kinematics_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+)
+from nerf_kinematics_tpu.rendering.renderer import RenderSettings
+from nerf_kinematics_tpu.train.config import Config, NeRFConfig
+from nerf_kinematics_tpu.train.loop import ClassicNerf
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh()
+
+
+def _tiny_cfg():
+    return Config(
+        model_coarse=FlexibleNeRFConfig(hidden_size=32, num_encoding_fn_xyz=4,
+                                        num_encoding_fn_dir=2),
+        model_fine=None,
+        nerf=NeRFConfig(
+            train=RenderSettings(num_coarse=16, num_fine=0),
+            validation=RenderSettings(num_coarse=16, num_fine=0, perturb=False),
+            num_random_rays=256,
+        ),
+    )
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.devices.size == 8
+
+
+def test_sharded_training_step_runs_and_converges(mesh):
+    ds = make_synthetic_scene(n_views=6, resolution=24)
+    engine = ClassicNerf(_tiny_cfg(), mesh=mesh)
+    state = engine.init_state(0)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    images = jax.device_put(jnp.asarray(ds.images), replicated_sharding(mesh))
+    poses = jax.device_put(jnp.asarray(ds.poses), replicated_sharding(mesh))
+
+    step = engine.make_train_step(ds.intrinsics, ds.near, ds.far, False, donate=False)
+    losses = []
+    for _ in range(40):
+        state, m = step(state, images, poses)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_matches_single_device(mesh):
+    """One sharded step must produce numerically identical params to the
+    unsharded step (same PRNG stream ⇒ same batch ⇒ same grads)."""
+    ds = make_synthetic_scene(n_views=4, resolution=16)
+    cfg = _tiny_cfg()
+
+    images = jnp.asarray(ds.images)
+    poses = jnp.asarray(ds.poses)
+
+    eng_single = ClassicNerf(cfg, mesh=None)
+    s0 = eng_single.init_state(0)
+    step_single = eng_single.make_train_step(ds.intrinsics, ds.near, ds.far, False, donate=False)
+    s1, m1 = step_single(s0, images, poses)
+
+    eng_mesh = ClassicNerf(cfg, mesh=mesh)
+    t0 = jax.device_put(eng_mesh.init_state(0), replicated_sharding(mesh))
+    step_mesh = eng_mesh.make_train_step(ds.intrinsics, ds.near, ds.far, False, donate=False)
+    t1, m2 = step_mesh(
+        t0,
+        jax.device_put(images, replicated_sharding(mesh)),
+        jax.device_put(poses, replicated_sharding(mesh)),
+    )
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat2 = jax.tree_util.tree_leaves(t1.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_batch_sharding_distributes_rows(mesh):
+    x = jnp.arange(64.0).reshape(8, 8)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    # Each device holds one row shard.
+    assert len(xs.addressable_shards) == 8
+    assert xs.addressable_shards[0].data.shape == (1, 8)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x))
