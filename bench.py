@@ -48,19 +48,22 @@ def main() -> None:
 
     engine = ClassicNerf(cfg)
     state = engine.init_state(0)
-    step = engine.make_train_step(ds.intrinsics, ds.near, ds.far, False, donate=True)
+    steps_per_call = 20
+    step = engine.make_train_many(
+        ds.intrinsics, ds.near, ds.far, False, steps_per_call=steps_per_call
+    )
 
     # Warmup / compile.
-    for _ in range(3):
-        state, metrics = step(state, images, poses)
+    state, metrics = step(state, images, poses)
     jax.block_until_ready(metrics["loss"])
 
-    iters = 50
+    calls = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(calls):
         state, metrics = step(state, images, poses)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
+    iters = calls * steps_per_call
 
     n_chips = len(jax.devices())
     rays_per_sec = iters * n_rays / dt / max(n_chips, 1)

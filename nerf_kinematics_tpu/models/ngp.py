@@ -1,0 +1,88 @@
+"""Instant-NGP-class model: hash-grid encoder + tiny fused-width MLPs.
+
+Architecture pinned to the reference's logged network summary
+(instant_ngp_collab_cloud.ipynb cell 23):
+
+    Density model: 3 --[HashGrid L=8 T=2^19 F=4 Nmin=16]--> 32 --[MLP 64x3]--> 16
+    Color model:   3 --[SH deg 4]--> 16, concat 16 density feats --> 32
+                     --[MLP 64x4]--> 3
+    total encoding params ≈ 12.7M; network params 10,240.
+
+Density σ = exp(clamped first channel) (NGP's log-space density); RGB =
+sigmoid. MLP widths of 64 are zero-padded to the 128-lane TPU tile by XLA;
+the whole point→radiance path is one fusable jit region.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.hashgrid import HashGridConfig, hash_encode, init_table
+from ..ops.sh import sh_encode
+
+
+@dataclass(frozen=True)
+class NGPConfig:
+    grid: HashGridConfig = field(default_factory=HashGridConfig)
+    density_width: int = 64
+    density_layers: int = 3  # hidden layers ("MLP(neurons=64, layers=3)")
+    density_out: int = 16
+    color_width: int = 64
+    color_layers: int = 4
+    sh_degree: int = 4
+
+    @classmethod
+    def from_cfg(cls, d: dict) -> "NGPConfig":
+        d = dict(d)
+        grid_keys = set(HashGridConfig.__dataclass_fields__)
+        grid = HashGridConfig(**{k: v for k, v in d.items() if k in grid_keys})
+        own = set(cls.__dataclass_fields__) - {"grid"}
+        return cls(grid=grid, **{k: v for k, v in d.items() if k in own})
+
+
+class NGPModel(nn.Module):
+    """(xyz in [0,1]^3, viewdir) → (rgb logits, σ). σ uses exp activation on a
+    clamped logit, applied here (raw2outputs then receives identity-activated
+    density via its relu — already positive)."""
+
+    config: NGPConfig = NGPConfig()
+
+    def setup(self):
+        cfg = self.config
+        self.table = self.param(
+            "hash_table", lambda key: init_table(key, cfg.grid)
+        )
+        self.density_mlp = [
+            nn.Dense(cfg.density_width, name=f"density_{i}")
+            for i in range(cfg.density_layers - 1)
+        ] + [nn.Dense(cfg.density_out, name="density_out")]
+        self.color_mlp = [
+            nn.Dense(cfg.color_width, name=f"color_{i}")
+            for i in range(cfg.color_layers - 1)
+        ] + [nn.Dense(3, name="color_out")]
+
+    def density(self, xyz):
+        """σ and the 16-dim geometry feature vector at unit-cube points."""
+        cfg = self.config
+        h = hash_encode(self.table, xyz, cfg.grid)
+        for layer in self.density_mlp[:-1]:
+            h = nn.relu(layer(h))
+        h = self.density_mlp[-1](h)
+        # Log-space density, clamped for numerical safety (exp(15) ≈ 3.3e6).
+        sigma = jnp.exp(jnp.clip(h[..., 0], -15.0, 15.0))
+        return sigma, h
+
+    def __call__(self, xyz, viewdirs=None):
+        cfg = self.config
+        sigma, feat = self.density(xyz)
+        if viewdirs is None:
+            viewdirs = jnp.zeros_like(xyz).at[..., 2].set(1.0)
+        sh = sh_encode(viewdirs, cfg.sh_degree)
+        h = jnp.concatenate([feat, sh], axis=-1)
+        for layer in self.color_mlp[:-1]:
+            h = nn.relu(layer(h))
+        rgb = self.color_mlp[-1](h)  # pre-sigmoid logits
+        return rgb, sigma

@@ -15,6 +15,7 @@ from typing import Optional
 import yaml
 
 from ..models.flexible_nerf import FlexibleNeRFConfig
+from ..models.ngp import NGPConfig
 from ..rendering.renderer import RenderSettings
 
 
@@ -85,6 +86,11 @@ class Config:
     nerf: NeRFConfig = field(default_factory=NeRFConfig)
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    # Engine selection: "classic" (FlexibleNeRF coarse+fine) or "ngp"
+    # (hash-grid fast engine). YAML: top-level ``engine: ngp`` + ``ngp:``
+    # section with HashGridConfig/NGPConfig knobs.
+    engine: str = "classic"
+    ngp: Optional[NGPConfig] = None
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
@@ -120,6 +126,9 @@ def config_from_dict(raw: dict) -> Config:
     optimizer = _filtered(OptimizerConfig, raw.get("optimizer", {}))
     scheduler = _filtered(SchedulerConfig, raw.get("scheduler", {}))
 
+    engine = raw.get("engine", "classic")
+    ngp = NGPConfig.from_cfg(raw.get("ngp", {})) if (engine == "ngp" or "ngp" in raw) else None
+
     return Config(
         dataset=dataset,
         experiment=experiment,
@@ -128,6 +137,8 @@ def config_from_dict(raw: dict) -> Config:
         nerf=nerf,
         optimizer=optimizer,
         scheduler=scheduler,
+        engine=engine,
+        ngp=ngp,
     )
 
 

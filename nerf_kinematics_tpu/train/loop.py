@@ -176,6 +176,29 @@ class ClassicNerf:
 
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
+    def make_train_many(self, intrinsics, near, far, use_ndc: bool,
+                        steps_per_call: int = 20):
+        """Multi-step variant: ``lax.scan`` over the train step so one host
+        dispatch drives ``steps_per_call`` optimizer steps — amortizes host
+        and interconnect-tunnel latency (important when the chip is remote).
+
+        Signature: (state, images, poses) -> (state, metrics of last step).
+        """
+        inner = self.make_train_step(intrinsics, near, far, use_ndc, donate=False)
+        # Unwrap the jit to scan the traced function directly.
+        raw_step = inner.__wrapped__
+
+        def many(state: TrainState, images, poses):
+            def body(carry, _):
+                new_state, metrics = raw_step(carry, images, poses)
+                return new_state, metrics
+
+            state, metrics = jax.lax.scan(body, state, None, length=steps_per_call)
+            last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+            return state, last
+
+        return jax.jit(many, donate_argnums=(0,))
+
     # -- evaluation ---------------------------------------------------------
     def make_render_fn(self, intrinsics, near, far, use_ndc: bool):
         """Jitted full-image renderer: (params, c2w) -> maps dict."""

@@ -1,0 +1,100 @@
+"""Fast-NeRF engine: the Instant-NGP-class model under the same Trainer API.
+
+Replaces the reference's C++/CUDA testbed train loop (SURVEY.md §3.3) with a
+single jitted train step: random rays → stratified + self-importance
+hierarchical sampling → hash encode → tiny MLPs → compositing → MSE → Adam.
+The hierarchical pass reuses the SAME model (it is cheap) instead of a
+separate fine network — the TPU-friendly stand-in for occupancy-grid sample
+pruning, keeping shapes static (SURVEY.md §7 "hard parts").
+
+Optimizer matches NGP practice: Adam(β2=0.99, eps=1e-15), higher lr, weight
+decay on MLP weights but never on the hash table.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.ngp import NGPConfig, NGPModel
+from .config import Config
+from .loop import ClassicNerf, TrainState
+
+
+class NGPEngine(ClassicNerf):
+    """Same interface as ClassicNerf; single NGP model for both passes."""
+
+    def __init__(self, cfg: Config, mesh=None, scene_bound: float = 1.0):
+        # Deliberately not calling super().__init__: different model family.
+        self.cfg = cfg
+        self.mesh = mesh
+        self.scene_bound = float(scene_bound)
+        self.ngp_config: NGPConfig = cfg.ngp if cfg.ngp is not None else NGPConfig()
+        self.model = NGPModel(self.ngp_config)
+        self.model_fine = None  # hierarchical pass shares params
+        self.optimizer = self._make_optimizer(cfg)
+
+    def _make_optimizer(self, cfg: Config):
+        from .loop import lr_schedule
+
+        sched = lr_schedule(cfg)
+        adam = optax.adam(learning_rate=sched, b1=0.9, b2=0.99, eps=1e-15)
+
+        def decay_mask(params):
+            # Weight-decay MLP kernels only; hash table and biases exempt.
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: not any(
+                    getattr(p, "key", None) == "hash_table" for p in path
+                ),
+                params,
+            )
+
+        return optax.chain(
+            optax.add_decayed_weights(1e-6, mask=decay_mask), adam
+        )
+
+    # -- model application with world→unit-cube mapping --------------------
+    def _to_unit(self, pts):
+        return pts / (2.0 * self.scene_bound) + 0.5
+
+    def apply_coarse(self, params, pts, vd):
+        return self.model.apply(params, self._to_unit(pts), vd)
+
+    def apply_fine(self, params, pts, vd):
+        return self.model.apply(params, self._to_unit(pts), vd)
+
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        seed = self.cfg.experiment.randomseed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        k_m, k_loop = jax.random.split(key)
+        x = jnp.zeros((1, 3))
+        params = {"coarse": self.model.init(k_m, x, x)}
+        opt_state = self.optimizer.init(params)
+        return TrainState(jnp.int32(0), params, opt_state, k_loop)
+
+    # make_train_step / make_render_fn / make_train_many inherit from
+    # ClassicNerf: they only touch apply_coarse/apply_fine/optimizer and the
+    # params dict, all of which this class provides. has_fine resolves to
+    # False (model_fine is None) unless num_fine > 0, in which case
+    # render_rays falls back to shared-parameter importance sampling.
+
+    def density_grid(self, params, resolution: int = 128):
+        """Query σ on a regular grid over the scene AABB — feeds marching
+        cubes and the occupancy diagnostics. Returns (R, R, R) densities."""
+        b = self.scene_bound
+        lin = jnp.linspace(-b, b, resolution)
+        zs, ys, xs = jnp.meshgrid(lin, lin, lin, indexing="ij")
+        pts = jnp.stack([xs, ys, zs], axis=-1).reshape(-1, 3)
+
+        def chunk_density(p):
+            sigma, _ = self.model.apply(
+                params["coarse"], self._to_unit(p), method=NGPModel.density
+            )
+            return sigma
+
+        chunks = pts.reshape(resolution, resolution * resolution, 3)
+        sigmas = jax.lax.map(chunk_density, chunks)
+        return sigmas.reshape(resolution, resolution, resolution)

@@ -51,8 +51,14 @@ class Trainer:
         self.cfg = cfg
         self.dataset = dataset if dataset is not None else load_dataset(cfg.dataset)
         self.mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
-        self.engine = ClassicNerf(cfg, mesh=self.mesh)
-        self.export_legacy = export_legacy
+        if cfg.engine == "ngp":
+            from .ngp_engine import NGPEngine
+
+            bound = max(self.dataset.aabb_scale / 2.0, 1.0)
+            self.engine = NGPEngine(cfg, mesh=self.mesh, scene_bound=bound)
+        else:
+            self.engine = ClassicNerf(cfg, mesh=self.mesh)
+        self.export_legacy = export_legacy and cfg.engine == "classic"
 
         exp = cfg.experiment
         self.rundir = os.path.join(exp.logdir, exp.id)
