@@ -18,15 +18,27 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
+from ..ops.cp_grid import CPGridConfig, cp_encode, init_cp_lines
 from ..ops.hashgrid import HashGridConfig, hash_encode, init_table
 from ..ops.sh import sh_encode
 
 
 @dataclass(frozen=True)
 class NGPConfig:
+    # Positional encoder:
+    #   "cp"        — CP-factorized folded multires grid via XLA matmuls
+    #                 (runs everywhere; TPU-native design).
+    #   "cp_pallas" — same math as one fused Pallas TPU kernel (fastest;
+    #                 interpret-mode on CPU for tests).
+    #   "hash"      — reference-parity Instant-NGP hash grid (gather-bound
+    #                 on TPU; kept for parity/validation — see
+    #                 ops/cp_grid.py docstring for the rationale).
+    encoder: str = "cp"
     grid: HashGridConfig = field(default_factory=HashGridConfig)
+    cp: CPGridConfig = field(default_factory=CPGridConfig)
     density_width: int = 64
     density_layers: int = 3  # hidden layers ("MLP(neurons=64, layers=3)")
     density_out: int = 16
@@ -39,8 +51,20 @@ class NGPConfig:
         d = dict(d)
         grid_keys = set(HashGridConfig.__dataclass_fields__)
         grid = HashGridConfig(**{k: v for k, v in d.items() if k in grid_keys})
-        own = set(cls.__dataclass_fields__) - {"grid"}
-        return cls(grid=grid, **{k: v for k, v in d.items() if k in own})
+        cp_keys = set(CPGridConfig.__dataclass_fields__) - grid_keys
+        cp_kwargs = {k: v for k, v in d.items() if k in cp_keys}
+        # Shared names (n_levels, base_resolution, max_resolution) configure
+        # whichever encoder is selected.
+        if d.get("encoder", "cp") == "cp":
+            shared = set(CPGridConfig.__dataclass_fields__) & grid_keys
+            cp_kwargs.update({k: v for k, v in d.items() if k in shared})
+        cp = CPGridConfig(**cp_kwargs)
+        own = set(cls.__dataclass_fields__) - {"grid", "cp"}
+        return cls(grid=grid, cp=cp, **{k: v for k, v in d.items() if k in own})
+
+    @property
+    def encoding_dim(self) -> int:
+        return self.cp.out_dim if self.encoder == "cp" else self.grid.out_dim
 
 
 class NGPModel(nn.Module):
@@ -52,9 +76,27 @@ class NGPModel(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.table = self.param(
-            "hash_table", lambda key: init_table(key, cfg.grid)
-        )
+        if cfg.encoder == "hash":
+            self.table = self.param(
+                "hash_table", lambda key: init_table(key, cfg.grid)
+            )
+        elif cfg.encoder == "cp":
+            shape = (3, cfg.cp.table_size, cfg.cp.n_components)
+            self.cp_lines = [
+                self.param(
+                    f"cp_lines_{l}",
+                    (lambda s: lambda key: 0.5 + 0.1 * jax.random.normal(key, s))(shape),
+                )
+                for l in range(cfg.cp.n_levels)
+            ]
+        elif cfg.encoder == "cp_pallas":
+            from ..ops.cp_grid_pallas import init_stacked_lines
+
+            self.cp_stacked = self.param(
+                "cp_lines", lambda key: init_stacked_lines(key, cfg.cp)
+            )
+        else:
+            raise ValueError(f"unknown encoder {cfg.encoder!r}")
         self.density_mlp = [
             nn.Dense(cfg.density_width, name=f"density_{i}")
             for i in range(cfg.density_layers - 1)
@@ -64,10 +106,21 @@ class NGPModel(nn.Module):
             for i in range(cfg.color_layers - 1)
         ] + [nn.Dense(3, name="color_out")]
 
+    def encode(self, xyz):
+        cfg = self.config
+        if cfg.encoder == "hash":
+            return hash_encode(self.table, xyz, cfg.grid)
+        if cfg.encoder == "cp_pallas":
+            from ..ops.cp_grid_pallas import cp_encode_pallas
+
+            interpret = jax.default_backend() != "tpu"
+            return cp_encode_pallas(self.cp_stacked, xyz, cfg.cp, 1024, interpret)
+        return cp_encode(list(self.cp_lines), xyz, cfg.cp)
+
     def density(self, xyz):
         """σ and the 16-dim geometry feature vector at unit-cube points."""
         cfg = self.config
-        h = hash_encode(self.table, xyz, cfg.grid)
+        h = self.encode(xyz)
         for layer in self.density_mlp[:-1]:
             h = nn.relu(layer(h))
         h = self.density_mlp[-1](h)

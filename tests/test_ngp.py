@@ -23,10 +23,10 @@ def _small_ngp():
 
 
 def test_reference_architecture_param_count():
-    """Full-size model: network params = 10,240 (cell 23: density 64x3 +
+    """Full-size hash model: network params = 10,240 (cell 23: density 64x3 +
     color 64x4 with 32-dim inputs, no biases in tcnn's count... our Dense
     layers add biases; compare kernel-only count)."""
-    model = NGPModel(NGPConfig())
+    model = NGPModel(NGPConfig(encoder="hash"))
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)), jnp.zeros((1, 3)))
     kernels = {
         k: v["kernel"].size
