@@ -1,0 +1,209 @@
+"""CLI: fast-NeRF (NGP-class) train / eval / render / mesh — flag-compatible
+with the reference driver ``instant-ngp/scripts/run.py`` (usage evidenced in
+instant_ngp_collab_cloud.ipynb cells 23-30):
+
+    python -m nerf_kinematics_tpu.cli.ngp_run <scene> \
+        --n_steps 25000 --save_snapshot model.nktsnap
+    python -m nerf_kinematics_tpu.cli.ngp_run <scene> \
+        --load_snapshot model.nktsnap --test_transforms transforms_val.json
+    ... --screenshot_transforms t.json --screenshot_dir out/ --width 1280
+    ... --save_mesh mesh.ply --marching_cubes_res 256
+
+Fixes the reference's --test_transforms crash when the JSON sits apart from
+its images (cells 25/26) by resolving image paths relative to the JSON.
+``--mode`` is accepted and ignored with the reference's own warning.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Fast-NeRF (NGP-class) testbed driver")
+    p.add_argument("scene", help="Scene dir containing transforms.json (or a JSON path)")
+    p.add_argument("--n_steps", type=int, default=0, help="Train this many steps")
+    p.add_argument("--save_snapshot", default=None, help="Write a snapshot after training")
+    p.add_argument("--load_snapshot", default=None, help="Load a snapshot before anything else")
+    p.add_argument("--test_transforms", default=None, help="Transforms JSON to PSNR-evaluate")
+    p.add_argument("--screenshot_transforms", default=None, help="Transforms JSON to render")
+    p.add_argument("--screenshot_dir", default="screenshots", help="Output dir for renders")
+    p.add_argument("--save_mesh", default=None, help="Write a .ply isosurface mesh")
+    p.add_argument("--marching_cubes_res", type=int, default=256)
+    p.add_argument("--marching_cubes_density_thresh", type=float, default=2.5)
+    p.add_argument("--width", type=int, default=None, help="Render width override")
+    p.add_argument("--height", type=int, default=None, help="Render height override")
+    p.add_argument("--batch", type=int, default=4096, help="Rays per training step")
+    p.add_argument("--samples", type=int, default=64, help="Coarse samples per ray")
+    p.add_argument("--fine-samples", type=int, default=64, help="Importance samples per ray")
+    p.add_argument("--encoder", default="cp",
+                   choices=["cp", "cp_pallas", "hash"], help="Positional encoder")
+    p.add_argument("--mode", default=None, help=argparse.SUPPRESS)
+    return p
+
+
+def _make_trainer(args):
+    from ..models.ngp import NGPConfig
+    from ..rendering.renderer import RenderSettings
+    from ..train.config import (
+        Config, DatasetConfig, ExperimentConfig, NeRFConfig, OptimizerConfig,
+        SchedulerConfig,
+    )
+    from ..train.trainer import Trainer
+
+    scene_id = os.path.basename(os.path.normpath(args.scene)).replace(".json", "") or "scene"
+    cfg = Config(
+        engine="ngp",
+        ngp=NGPConfig(encoder=args.encoder),
+        dataset=DatasetConfig(basedir=args.scene, type="ngp"),
+        experiment=ExperimentConfig(
+            id=f"ngp-{scene_id}",
+            logdir="logs",
+            train_iters=max(args.n_steps, 1),
+            print_every=500,
+            validate_every=0,
+            save_every=0,
+        ),
+        nerf=NeRFConfig(
+            train=RenderSettings(num_coarse=args.samples, num_fine=getattr(args, "fine_samples"),
+                                 perturb=True),
+            validation=RenderSettings(num_coarse=args.samples,
+                                      num_fine=getattr(args, "fine_samples"), perturb=False),
+            num_random_rays=args.batch,
+        ),
+        optimizer=OptimizerConfig(lr=1e-2),
+        scheduler=SchedulerConfig(lr_decay=50, lr_decay_factor=0.33),
+    )
+    return Trainer(cfg)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.mode is not None:
+        print(f"Warning: --mode is no longer in use. It will be ignored. "
+              f"The mode is automatically chosen based on the scene.")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..io.snapshot import load_snapshot, save_snapshot
+
+    trainer = _make_trainer(args)
+    engine = trainer.engine
+    state = engine.init_state()
+
+    if args.load_snapshot:
+        payload, meta = load_snapshot(args.load_snapshot)
+        state = state._replace(
+            params=payload["params"], step=jnp.int32(meta.get("step", 0))
+        )
+        print(f"Loaded snapshot {args.load_snapshot} at step {meta.get('step', 0)}")
+
+    if args.n_steps and int(state.step) < args.n_steps:
+        step_fn = trainer._train_step
+        import time
+
+        t0 = time.perf_counter()
+        it = int(state.step)
+        while it < args.n_steps:
+            state, metrics = step_fn(state, trainer.images, trainer.poses)
+            it += 1
+            if it % 500 == 0 or it == args.n_steps:
+                dt = time.perf_counter() - t0
+                print(f"step {it}/{args.n_steps} loss {float(metrics['loss']):.5f} "
+                      f"({it / max(dt, 1e-9):.1f} steps/s)")
+        v = trainer.validate(state)
+        if v:
+            print(f"val psnr: {v['val_psnr']:.2f} dB")
+
+    if args.save_snapshot:
+        save_snapshot(
+            args.save_snapshot,
+            {"params": jax.device_get(state.params)},
+            {"step": int(state.step), "engine": "ngp"},
+        )
+        print(f"Saved snapshot to {args.save_snapshot}")
+
+    if args.test_transforms:
+        _test_transforms(trainer, state, args)
+
+    if args.screenshot_transforms:
+        _screenshots(trainer, state, args)
+
+    if args.save_mesh:
+        from ..export.mesh import extract_mesh_from_engine
+
+        verts, tris = extract_mesh_from_engine(
+            engine, state.params,
+            resolution=args.marching_cubes_res,
+            iso=args.marching_cubes_density_thresh,
+            path=args.save_mesh,
+        )
+        print(f"Saved mesh to {args.save_mesh}: {len(verts)} vertices, {len(tris)} triangles")
+
+
+def _render_pose(trainer, state, pose, W, H):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data.types import Intrinsics
+
+    ds = trainer.dataset
+    intr = ds.intrinsics
+    if W and H and (W != intr.width or H != intr.height):
+        intr = Intrinsics(
+            intr.fl_x * W / intr.width, intr.fl_y * H / intr.height,
+            W / 2.0, H / 2.0, W, H,
+        )
+    render = trainer.engine.make_render_fn(intr, ds.near, ds.far, ds.use_ndc)
+    out = render(state.params, jnp.asarray(pose))
+    return np.clip(np.asarray(out["rgb"]) * 255, 0, 255).astype("uint8")
+
+
+def _test_transforms(trainer, state, args):
+    import numpy as np
+
+    from ..data.ngp_transforms import load_transforms_json
+    from ..metrics.psnr import psnr
+
+    imgs, poses, intr, _ = load_transforms_json(args.test_transforms)
+    if imgs is None:
+        raise SystemExit(f"no images resolvable from {args.test_transforms}")
+    scores = []
+    for i in range(len(poses)):
+        pred = _render_pose(trainer, state, poses[i], imgs.shape[2], imgs.shape[1])
+        gt = (imgs[i] * 255).astype("uint8")
+        scores.append(psnr(pred.astype(np.float64), gt.astype(np.float64), max_val=255.0))
+        print(f"frame {i}: psnr {scores[-1]:.2f} dB")
+    print(f"mean psnr: {np.mean(scores):.2f} dB over {len(scores)} frames")
+
+
+def _screenshots(trainer, state, args):
+    import json
+
+    from PIL import Image
+
+    from ..data.ngp_transforms import load_transforms_json
+
+    os.makedirs(args.screenshot_dir, exist_ok=True)
+    with open(args.screenshot_transforms) as f:
+        meta = json.load(f)
+    _, poses, intr, _ = load_transforms_json(args.screenshot_transforms, require_images=False)
+    names = [
+        os.path.basename(fr.get("file_path", f"frame_{i:04d}.png"))
+        for i, fr in enumerate(meta["frames"])
+    ]
+    W = args.width or intr.width or trainer.dataset.intrinsics.width
+    H = args.height or intr.height or trainer.dataset.intrinsics.height
+    for name, pose in zip(names, poses):
+        print(f"rendering {args.screenshot_dir}/{name}")
+        img = _render_pose(trainer, state, pose, W, H)
+        stem = os.path.splitext(name)[0]
+        Image.fromarray(img).save(os.path.join(args.screenshot_dir, stem + ".png"))
+    print(f"wrote {len(poses)} renders to {args.screenshot_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -65,8 +65,9 @@ def make_synthetic_scene(
     # Orbit in XY plane plus elevated rings for vertical parallax.
     rng = np.random.default_rng(seed)
     poses = []
+    per_ring = max(-(-n_views // 3), 2)
     for z, r in ((0.0, radius), (0.9, radius * 0.85), (-0.9, radius * 0.85)):
-        ring = generate_orbit_poses(np.zeros(3), r, max(n_views // 3, 2))
+        ring = generate_orbit_poses(np.zeros(3), r, per_ring)
         ring[:, 2, 3] += z
         # Re-aim at origin by rebuilding the look-at with the shifted position.
         from ..poses.orbit import _look_at_poses
