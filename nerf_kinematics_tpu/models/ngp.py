@@ -45,6 +45,11 @@ class NGPConfig:
     color_width: int = 64
     color_layers: int = 4
     sh_degree: int = 4
+    # Occupancy acceleration (instant-ngp's occupancy-bitfield ray marching,
+    # recast as importance weighting — ops/occupancy.py).
+    use_occupancy: bool = False
+    occ_resolution: int = 96
+    occ_update_every: int = 256
 
     @classmethod
     def from_cfg(cls, d: dict) -> "NGPConfig":

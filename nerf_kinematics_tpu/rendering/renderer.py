@@ -62,12 +62,15 @@ def render_rays(
     apply_fine: Optional[Callable] = None,
     use_viewdirs: bool = True,
     viewdirs=None,
+    proposal_fn=None,
 ):
     """Render a batch of rays. Returns (coarse: RenderOutputs, fine: RenderOutputs | None).
 
     ``near``/``far`` may be scalars or (N,) per-ray arrays. ``viewdirs``
     overrides the default normalize(rays_d) — needed for NDC-warped rays,
-    whose view direction must come from the pre-warp rays.
+    whose view direction must come from the pre-warp rays. ``proposal_fn``
+    (key, rays_o, rays_d) → (N, num_coarse) depths replaces the stratified
+    coarse sampler (occupancy-guided sample placement).
     """
     n_rays = rays_o.shape[0]
     deterministic = not settings.perturb
@@ -80,15 +83,18 @@ def render_rays(
     elif not use_viewdirs:
         viewdirs = None
 
-    z_coarse = stratified_sample(
-        k_strat,
-        n_rays,
-        settings.num_coarse,
-        near,
-        far,
-        perturb=settings.perturb,
-        lindisp=settings.lindisp,
-    )
+    if proposal_fn is not None:
+        z_coarse = proposal_fn(k_strat, rays_o, rays_d)
+    else:
+        z_coarse = stratified_sample(
+            k_strat,
+            n_rays,
+            settings.num_coarse,
+            near,
+            far,
+            perturb=settings.perturb,
+            lindisp=settings.lindisp,
+        )
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_coarse[..., :, None]
     raw_rgb, raw_sigma = _query(apply_coarse, params_coarse, pts, viewdirs)
     noise = settings.radiance_field_noise_std

@@ -30,6 +30,7 @@ class TrainState(NamedTuple):
     params: Any  # {'coarse': pytree, 'fine': pytree | None}
     opt_state: Any
     key: jax.Array
+    aux: Any = None  # engine-specific state (e.g. the NGP occupancy grid)
 
 
 def lr_schedule(cfg: Config):
@@ -83,6 +84,12 @@ class ClassicNerf:
         model = self.model_fine if self.model_fine is not None else self.model_coarse
         return model.apply(params, pts, vd)
 
+    def proposal_for(self, aux, near, far, settings):
+        """Optional coarse-depth proposal sampler built from engine aux state
+        (None → plain stratified sampling). Overridden by engines with
+        occupancy acceleration."""
+        return None
+
     # -- training -----------------------------------------------------------
     def make_train_step(self, intrinsics, near, far, use_ndc: bool, donate: bool = True):
         """Build the jitted train step closed over static scene geometry.
@@ -100,7 +107,7 @@ class ClassicNerf:
         use_viewdirs = cfg.nerf.use_viewdirs
         has_fine = self.model_fine is not None and settings.num_fine > 0
 
-        def loss_fn(params, batch, key):
+        def loss_fn(params, batch, key, aux):
             rays_o, rays_d, viewdirs, target = batch
             coarse, fine = render_rays(
                 params["coarse"],
@@ -115,6 +122,7 @@ class ClassicNerf:
                 apply_fine=self.apply_fine if has_fine else None,
                 use_viewdirs=use_viewdirs,
                 viewdirs=viewdirs,
+                proposal_fn=self.proposal_for(aux, near, far, settings),
             )
             loss_c = jnp.mean((coarse.rgb - target) ** 2)
             loss = loss_c
@@ -161,7 +169,7 @@ class ClassicNerf:
             batch = sample_batch(k_batch, images, poses)
             (loss, (loss_c, loss_f)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, batch, k_render)
+            )(state.params, batch, k_render, state.aux)
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
             )
@@ -172,7 +180,7 @@ class ClassicNerf:
                 "loss_fine": loss_f,
                 "psnr": -10.0 * jnp.log10(jnp.maximum(loss_f, 1e-12)),
             }
-            return TrainState(state.step + 1, params, opt_state, key), metrics
+            return TrainState(state.step + 1, params, opt_state, key, state.aux), metrics
 
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 

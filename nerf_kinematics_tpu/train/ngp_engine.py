@@ -73,7 +73,50 @@ class NGPEngine(ClassicNerf):
         x = jnp.zeros((1, 3))
         params = {"coarse": self.model.init(k_m, x, x)}
         opt_state = self.optimizer.init(params)
-        return TrainState(jnp.int32(0), params, opt_state, k_loop)
+        aux = None
+        if self.ngp_config.use_occupancy:
+            from ..ops.occupancy import init_grid
+
+            aux = init_grid(self.ngp_config.occ_resolution, self.scene_bound)
+        return TrainState(jnp.int32(0), params, opt_state, k_loop, aux)
+
+    # -- occupancy acceleration -------------------------------------------
+    def proposal_for(self, aux, near, far, settings):
+        if aux is None or not self.ngp_config.use_occupancy:
+            return None
+        from ..ops.occupancy import occupancy_sample
+
+        def proposal(key, rays_o, rays_d):
+            return occupancy_sample(
+                key, aux, rays_o, rays_d, near, far, settings.num_coarse,
+                deterministic=not settings.perturb,
+            )
+
+        return proposal
+
+    def update_occupancy(self, state: TrainState) -> TrainState:
+        """Periodic full-sweep EMA refresh of the occupancy grid (call every
+        ``occ_update_every`` steps from the training loop)."""
+        if state.aux is None:
+            return state
+        from ..ops.occupancy import update_grid
+
+        if not hasattr(self, "_occ_update_jit"):
+            def _upd(aux, params, key):
+                def density_fn(pts):
+                    from ..models.ngp import NGPModel
+
+                    sigma, _ = self.model.apply(
+                        params["coarse"], self._to_unit(pts), method=NGPModel.density
+                    )
+                    return sigma
+
+                return update_grid(aux, density_fn, key, chunk=65536)
+
+            self._occ_update_jit = jax.jit(_upd)
+        key, sub = jax.random.split(state.key)
+        aux = self._occ_update_jit(state.aux, state.params, sub)
+        return state._replace(aux=aux, key=key)
 
     # make_train_step / make_render_fn / make_train_many inherit from
     # ClassicNerf: they only touch apply_coarse/apply_fine/optimizer and the

@@ -121,8 +121,16 @@ class Trainer:
         last_metrics: dict = {}
         val_psnr = None
 
+        occ_every = 0
+        if hasattr(self.engine, "update_occupancy") and getattr(
+            getattr(self.engine, "ngp_config", None), "use_occupancy", False
+        ):
+            occ_every = self.engine.ngp_config.occ_update_every
+
         for it in range(start_step + 1, total + 1):
             state, metrics = self._train_step(state, self.images, self.poses)
+            if occ_every and it % occ_every == 0:
+                state = self.engine.update_occupancy(state)
 
             if it % exp.print_every == 0 or it == total:
                 metrics = {k: float(v) for k, v in metrics.items()}
