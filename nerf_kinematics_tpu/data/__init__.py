@@ -23,10 +23,20 @@ LOADERS = {
 
 
 def load_dataset(cfg) -> NerfDataset:
-    """Load the dataset described by a DatasetConfig."""
+    """Load the dataset described by a DatasetConfig (honoring ``cachedir``)."""
     if cfg.type not in LOADERS:
         raise ValueError(f"unknown dataset type {cfg.type!r}; have {sorted(LOADERS)}")
-    return LOADERS[cfg.type](cfg)
+    from .cache import cache_path, load_cached, save_cached
+
+    path = cache_path(cfg)
+    if path is not None:
+        cached = load_cached(path)
+        if cached is not None:
+            return cached
+    ds = LOADERS[cfg.type](cfg)
+    if path is not None:
+        save_cached(path, ds)
+    return ds
 
 
 __all__ = [

@@ -139,3 +139,23 @@ def test_llff_loader_fixture(tmp_path):
     np.testing.assert_allclose(
         np.einsum("nij,nkj->nik", rots, rots), np.tile(np.eye(3), (4, 1, 1)), atol=1e-5
     )
+
+
+def test_dataset_cachedir_roundtrip(wheel_dataset, tmp_path):
+    """cachedir: second load comes from the npz cache and matches."""
+    import dataclasses
+
+    cfg = DatasetConfig(
+        basedir=str(wheel_dataset), type="robot", cachedir=str(tmp_path / "cache"),
+        near=0.0, far=1.0, downsample_factor=8, llffhold=8,
+    )
+    ds1 = load_dataset(cfg)
+    from nerf_kinematics_tpu.data.cache import cache_path
+    import os
+
+    assert os.path.isfile(cache_path(cfg))
+    ds2 = load_dataset(cfg)
+    np.testing.assert_array_equal(ds1.images, ds2.images)
+    np.testing.assert_array_equal(ds1.poses, ds2.poses)
+    assert ds1.intrinsics == ds2.intrinsics
+    assert ds1.use_ndc == ds2.use_ndc
