@@ -45,6 +45,10 @@ class FlexibleNeRFConfig:
     log_sampling_xyz: bool = True
     log_sampling_dir: bool = True
     use_viewdirs: bool = True
+    # MXU compute dtype ("float32" | "bfloat16"); parameters stay float32.
+    # bf16 roughly quadruples TPU matmul throughput; outputs are cast back
+    # to f32 before compositing (raw2outputs stays full precision).
+    compute_dtype: str = "float32"
 
     @property
     def dim_xyz(self) -> int:
@@ -77,14 +81,16 @@ class FlexibleNeRF(nn.Module):
     @nn.compact
     def __call__(self, xyz, viewdirs=None):
         cfg = self.config
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        dense = lambda n, name: nn.Dense(n, name=name, dtype=dtype)
         enc_xyz = positional_encoding(
             xyz, cfg.num_encoding_fn_xyz, cfg.include_input_xyz, cfg.log_sampling_xyz
-        )
-        x = nn.relu(nn.Dense(cfg.hidden_size, name="layer1")(enc_xyz))
+        ).astype(dtype)
+        x = nn.relu(dense(cfg.hidden_size, "layer1")(enc_xyz))
         for i in range(cfg.trunk_depth - 1):
             if i % cfg.skip_connect_every == 0 and i > 0:
                 x = jnp.concatenate([x, enc_xyz], axis=-1)
-            x = nn.relu(nn.Dense(cfg.hidden_size, name=f"layers_xyz_{i}")(x))
+            x = nn.relu(dense(cfg.hidden_size, f"layers_xyz_{i}")(x))
 
         if cfg.use_viewdirs:
             if viewdirs is None:
@@ -94,14 +100,14 @@ class FlexibleNeRF(nn.Module):
                 cfg.num_encoding_fn_dir,
                 cfg.include_input_dir,
                 cfg.log_sampling_dir,
-            )
-            sigma = nn.Dense(1, name="fc_alpha")(x)
-            feat = nn.relu(nn.Dense(cfg.hidden_size, name="fc_feat")(x))
+            ).astype(dtype)
+            sigma = dense(1, "fc_alpha")(x)
+            feat = nn.relu(dense(cfg.hidden_size, "fc_feat")(x))
             y = jnp.concatenate([feat, enc_dir], axis=-1)
-            y = nn.relu(nn.Dense(cfg.hidden_size // 2, name="layers_dir_0")(y))
-            rgb = nn.Dense(3, name="fc_rgb")(y)
+            y = nn.relu(dense(cfg.hidden_size // 2, "layers_dir_0")(y))
+            rgb = dense(3, "fc_rgb")(y)
         else:
-            out = nn.Dense(4, name="fc_out")(x)
+            out = dense(4, "fc_out")(x)
             rgb, sigma = out[..., :3], out[..., 3:]
 
-        return rgb, sigma[..., 0]
+        return rgb.astype(jnp.float32), sigma[..., 0].astype(jnp.float32)

@@ -50,6 +50,8 @@ class NGPConfig:
     use_occupancy: bool = False
     occ_resolution: int = 96
     occ_update_every: int = 256
+    # MXU compute dtype for the MLPs ("float32" | "bfloat16"); params f32.
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_cfg(cls, d: dict) -> "NGPConfig":
@@ -102,14 +104,15 @@ class NGPModel(nn.Module):
             )
         else:
             raise ValueError(f"unknown encoder {cfg.encoder!r}")
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.density_mlp = [
-            nn.Dense(cfg.density_width, name=f"density_{i}")
+            nn.Dense(cfg.density_width, name=f"density_{i}", dtype=dtype)
             for i in range(cfg.density_layers - 1)
-        ] + [nn.Dense(cfg.density_out, name="density_out")]
+        ] + [nn.Dense(cfg.density_out, name="density_out", dtype=dtype)]
         self.color_mlp = [
-            nn.Dense(cfg.color_width, name=f"color_{i}")
+            nn.Dense(cfg.color_width, name=f"color_{i}", dtype=dtype)
             for i in range(cfg.color_layers - 1)
-        ] + [nn.Dense(3, name="color_out")]
+        ] + [nn.Dense(3, name="color_out", dtype=dtype)]
 
     def encode(self, xyz):
         cfg = self.config
@@ -129,8 +132,9 @@ class NGPModel(nn.Module):
         for layer in self.density_mlp[:-1]:
             h = nn.relu(layer(h))
         h = self.density_mlp[-1](h)
-        # Log-space density, clamped for numerical safety (exp(15) ≈ 3.3e6).
-        sigma = jnp.exp(jnp.clip(h[..., 0], -15.0, 15.0))
+        # Log-space density, clamped for numerical safety (exp(15) ≈ 3.3e6);
+        # computed in f32 regardless of MLP compute dtype.
+        sigma = jnp.exp(jnp.clip(h[..., 0].astype(jnp.float32), -15.0, 15.0))
         return sigma, h
 
     def __call__(self, xyz, viewdirs=None):
@@ -142,5 +146,5 @@ class NGPModel(nn.Module):
         h = jnp.concatenate([feat, sh], axis=-1)
         for layer in self.color_mlp[:-1]:
             h = nn.relu(layer(h))
-        rgb = self.color_mlp[-1](h)  # pre-sigmoid logits
+        rgb = self.color_mlp[-1](h).astype(jnp.float32)  # pre-sigmoid logits
         return rgb, sigma

@@ -89,3 +89,18 @@ def test_sigma_head_independent_of_viewdir():
     _, s1 = model.apply(params, xyz, jnp.ones((3, 3)))
     _, s2 = model.apply(params, xyz, -jnp.ones((3, 3)))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_bf16_compute_close_to_f32():
+    """bfloat16 compute path: same params, outputs within bf16 tolerance."""
+    cfg32 = FlexibleNeRFConfig()
+    cfg16 = FlexibleNeRFConfig(compute_dtype="bfloat16")
+    m32, m16 = FlexibleNeRF(cfg32), FlexibleNeRF(cfg16)
+    params = m32.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)), jnp.zeros((2, 3)))
+    xyz = jax.random.normal(jax.random.PRNGKey(1), (64, 3))
+    vd = jax.random.normal(jax.random.PRNGKey(2), (64, 3))
+    r32, s32 = m32.apply(params, xyz, vd)
+    r16, s16 = m16.apply(params, xyz, vd)
+    assert r16.dtype == jnp.float32  # outputs cast back
+    np.testing.assert_allclose(np.asarray(r16), np.asarray(r32), atol=0.1)
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), atol=0.15)
