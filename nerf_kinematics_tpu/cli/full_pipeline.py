@@ -32,6 +32,9 @@ def build_parser():
     p.add_argument("--video-frames", type=int, default=60)
     p.add_argument("--skip-video", action="store_true")
     p.add_argument("--skip-mesh", action="store_true")
+    p.add_argument("--limit-frames", type=int, default=0,
+                   help="Use only the first N capture frames (the reference's "
+                        "fox10/fox20/fox49 frames-vs-quality ablation)")
     return p
 
 
@@ -103,7 +106,11 @@ def main(argv=None):
         optimizer=OptimizerConfig(lr=1e-2),
         scheduler=SchedulerConfig(lr_decay=50, lr_decay_factor=0.33),
     )
-    trainer = Trainer(cfg)
+    dataset = load_dataset(cfg.dataset)
+    if args.limit_frames:
+        dataset.train_idx = dataset.train_idx[: args.limit_frames]
+        print(f"  ablation: training on {len(dataset.train_idx)} frames")
+    trainer = Trainer(cfg, dataset=dataset)
     result = trainer.fit()
     print(f"[3/5] trained {args.steps} steps: val psnr "
           f"{result.val_psnr if result.val_psnr is not None else float('nan'):.2f} dB, "

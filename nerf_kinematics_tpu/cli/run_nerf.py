@@ -80,16 +80,26 @@ def _load_state(trainer, load_checkpoint):
 
 
 def _save_val_images(trainer, v):
+    """GT-vs-render pair export (the reference's results/…/imgs/{reals,rendered}
+    comparison layout)."""
     if "val_image" not in v:
         return
     import numpy as np
     from PIL import Image
 
-    outdir = os.path.join(trainer.rundir, "renders")
-    os.makedirs(outdir, exist_ok=True)
+    for sub in ("rendered", "reals"):
+        os.makedirs(os.path.join(trainer.rundir, "imgs", sub), exist_ok=True)
     img = np.clip(v["val_image"] * 255, 0, 255).astype(np.uint8)
-    Image.fromarray(img).save(os.path.join(outdir, "val.png"))
-    print(f"wrote {outdir}/val.png")
+    Image.fromarray(img).save(
+        os.path.join(trainer.rundir, "imgs", "rendered", "val_0.png")
+    )
+    ds = trainer.dataset
+    if len(ds.val_idx):
+        gt = np.clip(ds.images[int(ds.val_idx[0])] * 255, 0, 255).astype(np.uint8)
+        Image.fromarray(gt).save(
+            os.path.join(trainer.rundir, "imgs", "reals", "val_0.png")
+        )
+    print(f"wrote GT-vs-render pair under {trainer.rundir}/imgs/")
 
 
 def _render_video(trainer, state):
