@@ -95,3 +95,21 @@ def test_batch_sharding_distributes_rows(mesh):
     assert len(xs.addressable_shards) == 8
     assert xs.addressable_shards[0].data.shape == (1, 8)
     np.testing.assert_allclose(np.asarray(xs), np.asarray(x))
+
+
+def test_multihost_helpers_single_process(mesh):
+    """Single-process semantics of the multi-host utilities."""
+    from nerf_kinematics_tpu.parallel.multihost import (
+        host_local_slice,
+        initialize_multihost,
+        make_global_batch,
+    )
+
+    assert initialize_multihost() is False  # no coordinator → no-op
+    sl = host_local_slice(10)
+    assert (sl.start, sl.stop) == (0, 10)  # one process owns everything
+
+    local = np.arange(16.0).reshape(8, 2)
+    arr = make_global_batch(local, mesh)
+    assert len(arr.addressable_shards) == 8
+    np.testing.assert_allclose(np.asarray(arr), local)
