@@ -60,3 +60,24 @@ def test_cli_eval_entry(smoke_cfg, capsys):
     main(["--config", str(cfg_path), "--eval"])
     out = capsys.readouterr().out
     assert "val_psnr" in out
+
+
+def test_plot_metrics(smoke_cfg, capsys):
+    """metrics.jsonl → train/val loss+psnr curve PNGs."""
+    import os
+
+    from nerf_kinematics_tpu.cli.plot_metrics import main as plot_main
+    from nerf_kinematics_tpu.train.config import load_config
+    from nerf_kinematics_tpu.train.trainer import Trainer
+
+    cfg_path, tmp = smoke_cfg
+    cfg = load_config(cfg_path)
+    trainer = Trainer(cfg)
+    trainer.fit(max_iters=60)
+    trainer.close()
+
+    plot_main([trainer.rundir])
+    out = capsys.readouterr().out
+    lossdir = os.path.join(trainer.rundir, "loss")
+    files = set(os.listdir(lossdir))
+    assert {"train_loss.png", "train_psnr.png", "val_loss.png", "val_psnr.png"} <= files
