@@ -109,6 +109,20 @@ class Trainer:
             "val_image": pred,
         }
 
+    def evaluate_split(self, state: TrainState, split: str = "val") -> dict:
+        """Render + PSNR every image of a split; returns per-frame and mean
+        PSNR (the reference's --test_transforms / eval_nerf behavior)."""
+        ds = self.dataset
+        idx = {"train": ds.train_idx, "val": ds.val_idx, "test": ds.test_idx}[split]
+        scores = []
+        for i in idx:
+            out = self._render(state.params, jnp.asarray(ds.poses[int(i)]))
+            scores.append(psnr(np.asarray(out["rgb"]), ds.images[int(i)]))
+        return {
+            "per_frame": scores,
+            "mean_psnr": float(np.mean(scores)) if scores else float("nan"),
+        }
+
     def fit(self, max_iters: Optional[int] = None) -> TrainResult:
         cfg, exp = self.cfg, self.cfg.experiment
         total = max_iters if max_iters is not None else exp.train_iters
