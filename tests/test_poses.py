@@ -198,3 +198,40 @@ def test_sharpness_matches_pil_reference(wheel_dataset):
     # PIL rounds/clamps identically on interior; borders are edge-replicated in
     # PIL vs passthrough here — allow a small relative tolerance.
     assert via_np == pytest.approx(via_pil, rel=0.05)
+
+
+def test_conversion_skips_missing_images(wheel_dataset, tmp_path):
+    """The frame-image matcher must skip missing indices and use each image
+    once (parser_instant_ngp.py:277-295 semantics): thin out a copy of the
+    capture and convert."""
+    import shutil
+
+    # The REAL capture already exercises the skip: images are 0-6, 8-12
+    # (no "TestNERF 7.jpg"), so the matcher bridges the gap and the last
+    # pose consumes image 12.
+    res = convert_poses(
+        poses_path=str(wheel_dataset / "poses.txt"),
+        image_folder=str(wheel_dataset / "images_robot"),
+        recenter=True, output=None, with_sharpness=False,
+    )
+    used = [f["file_path"] for f in res.train["frames"]]
+    assert not any("TestNERF 7.jpg" in p for p in used)
+    assert any("TestNERF 12.jpg" in p for p in used)
+    assert len(used) == len(set(used)) == 11  # each image used once
+
+    # Thin one more train image out → 11 poses, 10 candidates → error,
+    # matching the reference's FileNotFoundError on exhaustion.
+    cap = tmp_path / "cap"
+    (cap / "images_robot").mkdir(parents=True)
+    shutil.copy(wheel_dataset / "poses.txt", cap / "poses.txt")
+    for i in [0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11]:  # drop 12 (and 7 is absent)
+        shutil.copy(
+            wheel_dataset / "images_robot" / f"TestNERF {i}.jpg",
+            cap / "images_robot" / f"TestNERF {i}.jpg",
+        )
+    with pytest.raises(FileNotFoundError):
+        convert_poses(
+            poses_path=str(cap / "poses.txt"),
+            image_folder=str(cap / "images_robot"),
+            recenter=True, output=None, with_sharpness=False,
+        )
