@@ -33,6 +33,11 @@ class RenderSettings:
     radiance_field_noise_std: float = 0.0
     white_background: bool = False
     chunksize: int = 131072
+    # Hierarchical pass: merge fine with coarse samples (classic NeRF union,
+    # needs a per-ray sort — reference parity) vs fine-only sorted
+    # importance samples (no sort; the fast engines' default — the per-ray
+    # sort costs more than the model itself on TPU).
+    merge_hierarchical: bool = True
 
     @classmethod
     def from_cfg(cls, d: dict) -> "RenderSettings":
@@ -118,6 +123,7 @@ def render_rays(
             jax.lax.stop_gradient(coarse.weights),
             settings.num_fine,
             deterministic=deterministic,
+            merge=settings.merge_hierarchical,
         )
         pts_f = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
         raw_rgb_f, raw_sigma_f = _query(af, pf, pts_f, viewdirs)

@@ -29,6 +29,20 @@ class NGPEngine(ClassicNerf):
 
     def __init__(self, cfg: Config, mesh=None, scene_bound: float = 1.0):
         # Deliberately not calling super().__init__: different model family.
+        import dataclasses
+
+        # Fast engine always uses sorted fine-only importance samples: the
+        # classic merge's per-ray sort costs more than the whole model on TPU
+        # (see RenderSettings.merge_hierarchical).
+        cfg = cfg.replace(
+            nerf=dataclasses.replace(
+                cfg.nerf,
+                train=dataclasses.replace(cfg.nerf.train, merge_hierarchical=False),
+                validation=dataclasses.replace(
+                    cfg.nerf.validation, merge_hierarchical=False
+                ),
+            )
+        )
         self.cfg = cfg
         self.mesh = mesh
         self.scene_bound = float(scene_bound)
