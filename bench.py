@@ -8,7 +8,11 @@ Baseline: the reference's Instant-NGP training on a Tesla T4 ran 56.78 steps/s
 (instant_ngp_collab_cloud.ipynb cell 23) at the default 4096-ray batch ⇒
 ~232,570 rays/s. ``vs_baseline`` is our rays/s divided by that.
 
-Runs on whatever jax.devices() provides (the real TPU chip under the driver).
+Flagship configuration: NGP-class engine with the folded CP Pallas encoder
+(bf16 MLPs), occupancy-guided single-pass sampling at 64 samples/ray — the
+TPU-native equivalent of instant-ngp's occupancy-pruned marching
+(ARCHITECTURE.md §3-4). Timing uses in-jit lax.scan repetition so host/tunnel
+dispatch latency is excluded (steady-state step time).
 """
 
 from __future__ import annotations
@@ -24,49 +28,67 @@ def main() -> None:
     import jax.numpy as jnp
 
     from nerf_kinematics_tpu.data import make_synthetic_scene
-    from nerf_kinematics_tpu.models.flexible_nerf import FlexibleNeRFConfig
+    from nerf_kinematics_tpu.models.ngp import NGPConfig
+    from nerf_kinematics_tpu.ops.cp_grid import CPGridConfig
     from nerf_kinematics_tpu.rendering.renderer import RenderSettings
     from nerf_kinematics_tpu.train.config import Config, NeRFConfig, OptimizerConfig
-    from nerf_kinematics_tpu.train.loop import ClassicNerf
+    from nerf_kinematics_tpu.train.ngp_engine import NGPEngine
 
     n_rays = 4096
+    on_tpu = jax.default_backend() == "tpu"
     cfg = Config(
-        model_coarse=FlexibleNeRFConfig(),
-        model_fine=FlexibleNeRFConfig(),
+        engine="ngp",
+        ngp=NGPConfig(
+            encoder="cp_pallas" if on_tpu else "cp",
+            cp=CPGridConfig(n_levels=4, n_components=32, base_resolution=32,
+                            max_resolution=512, table_size=128),
+            compute_dtype="bfloat16",
+            use_occupancy=True, occ_resolution=96, occ_update_every=256,
+        ),
         nerf=NeRFConfig(
-            train=RenderSettings(num_coarse=64, num_fine=64, perturb=True,
-                                 radiance_field_noise_std=0.2),
-            validation=RenderSettings(num_coarse=64, num_fine=64, perturb=False),
+            train=RenderSettings(num_coarse=64, num_fine=0, perturb=True),
+            validation=RenderSettings(num_coarse=64, num_fine=0, perturb=False),
             num_random_rays=n_rays,
         ),
-        optimizer=OptimizerConfig(lr=5e-3),
+        optimizer=OptimizerConfig(lr=1e-2),
     )
 
     ds = make_synthetic_scene(n_views=9, resolution=64)
     images = jnp.asarray(ds.images)
     poses = jnp.asarray(ds.poses)
 
-    engine = ClassicNerf(cfg)
+    engine = NGPEngine(cfg, scene_bound=1.0)
     state = engine.init_state(0)
-    steps_per_call = 20
-    step = engine.make_train_many(
-        ds.intrinsics, ds.near, ds.far, False, steps_per_call=steps_per_call
-    )
+    raw = engine.make_train_step(
+        ds.intrinsics, ds.near, ds.far, False, donate=False
+    ).__wrapped__
 
-    # Warmup / compile.
-    state, metrics = step(state, images, poses)
-    jax.block_until_ready(metrics["loss"])
+    def make_many(n):
+        @jax.jit
+        def many(s):
+            def body(c, _):
+                c, m = raw(c, images, poses)
+                return c, m["loss"]
 
-    calls = 5
-    t0 = time.perf_counter()
-    for _ in range(calls):
-        state, metrics = step(state, images, poses)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
-    iters = calls * steps_per_call
+            c, losses = jax.lax.scan(body, s, None, length=n)
+            return c, losses[-1]
+
+        return many
+
+    reps_small, reps_big = (2, 8) if not on_tpu else (8, 40)
+    t = {}
+    for n in (reps_small, reps_big):
+        many = make_many(n)
+        s, l = many(state)
+        float(l)  # compile + run
+        t0 = time.perf_counter()
+        s, l = many(state)
+        float(l)
+        t[n] = time.perf_counter() - t0
+    step_s = (t[reps_big] - t[reps_small]) / (reps_big - reps_small)
 
     n_chips = len(jax.devices())
-    rays_per_sec = iters * n_rays / dt / max(n_chips, 1)
+    rays_per_sec = n_rays / step_s / max(n_chips, 1)
     print(
         json.dumps(
             {

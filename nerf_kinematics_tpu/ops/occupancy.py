@@ -84,6 +84,17 @@ def occupancy_at(grid: OccupancyGrid, pts: jnp.ndarray) -> jnp.ndarray:
     return sum(corner(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1))
 
 
+def occupancy_at_nearest(grid: OccupancyGrid, pts: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-cell occupancy lookup — ONE flat gather per point (the
+    trilinear version costs 8; for proposal weighting nearest is plenty and
+    8x cheaper on TPU, where gathers dominate)."""
+    R = grid.resolution
+    u = (pts / (2.0 * grid.bound) + 0.5) * R
+    idx = jnp.clip(u.astype(jnp.int32), 0, R - 1)
+    flat = idx[..., 0] * (R * R) + idx[..., 1] * R + idx[..., 2]
+    return jnp.take(grid.density.reshape(-1), flat, axis=0)
+
+
 def occupancy_proposal(
     grid: OccupancyGrid,
     rays_o: jnp.ndarray,
@@ -91,7 +102,7 @@ def occupancy_proposal(
     z_bins: jnp.ndarray,
     floor: float = 1e-2,
 ) -> jnp.ndarray:
-    """Per-bin proposal weights ∝ occupancy at bin centers.
+    """Per-bin proposal weights ∝ occupancy at bin centers (nearest-cell).
 
     ``floor`` keeps a small uniform component so unseen space continues to
     receive samples (exploration — occupancy is only an EMA estimate).
@@ -99,7 +110,7 @@ def occupancy_proposal(
     """
     mids = 0.5 * (z_bins[..., 1:] + z_bins[..., :-1])
     pts = rays_o[..., None, :] + rays_d[..., None, :] * mids[..., :, None]
-    occ = occupancy_at(grid, pts)
+    occ = occupancy_at_nearest(grid, pts)
     occ = occ / (jnp.max(occ, axis=-1, keepdims=True) + 1e-9)
     return occ + floor
 
@@ -123,5 +134,8 @@ def occupancy_sample(
         (n_rays, num_bins + 1),
     )
     weights = occupancy_proposal(grid, rays_o, rays_d, bins)
-    z = sample_pdf(key, bins, weights, num_samples, deterministic=deterministic)
-    return jnp.sort(z, axis=-1)
+    # stratified_u ⇒ samples come out sorted; no per-ray sort needed.
+    return sample_pdf(
+        key, bins, weights, num_samples,
+        deterministic=deterministic, stratified_u=True,
+    )

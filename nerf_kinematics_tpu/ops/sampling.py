@@ -98,19 +98,26 @@ def sample_pdf(
         u = jax.random.uniform(key, (*cdf.shape[:-1], num_samples), dtype=dtype)
 
     # Count cdf entries <= u: inds in [1, M+1) (u >= cdf[0] = 0 always).
-    # (..., S, M+1) comparison, summed over the bin axis.
-    inds = jnp.sum(
-        (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1
-    )
-    inds = jnp.clip(inds, 1, cdf.shape[-1] - 1)
+    # (..., S, M+1) comparison, summed over the bin axis. The subsequent
+    # per-sample bin values are selected with one-hot reductions over the
+    # SAME static axis instead of take_along_axis — zero gathers end to end
+    # (XLA gathers are the slowest primitive on TPU; this whole function is
+    # pure VPU work).
+    M1 = cdf.shape[-1]
+    cmp = (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32)  # (...,S,M+1)
+    inds = jnp.clip(jnp.sum(cmp, axis=-1), 1, M1 - 1)
 
-    below = inds - 1
-    above = inds
+    iota = jnp.arange(M1, dtype=jnp.int32)
+    onehot_b = ((inds - 1)[..., None] == iota).astype(cdf.dtype)  # (...,S,M+1)
+    onehot_a = (inds[..., None] == iota).astype(cdf.dtype)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, jnp.clip(below, 0, bins.shape[-1] - 1), axis=-1)
-    bins_above = jnp.take_along_axis(bins, jnp.clip(above, 0, bins.shape[-1] - 1), axis=-1)
+    def select(vals, onehot):
+        return jnp.sum(vals[..., None, :] * onehot, axis=-1)
+
+    cdf_below = select(cdf, onehot_b)
+    cdf_above = select(cdf, onehot_a)
+    bins_below = select(bins, onehot_b)
+    bins_above = select(bins, onehot_a)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, 1.0, denom)
