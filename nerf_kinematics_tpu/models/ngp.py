@@ -122,7 +122,7 @@ class NGPModel(nn.Module):
             from ..ops.cp_grid_pallas import cp_encode_pallas
 
             interpret = jax.default_backend() != "tpu"
-            return cp_encode_pallas(self.cp_stacked, xyz, cfg.cp, 1024, interpret)
+            return cp_encode_pallas(self.cp_stacked, xyz, cfg.cp, 512, interpret)
         return cp_encode(list(self.cp_lines), xyz, cfg.cp)
 
     def density(self, xyz):

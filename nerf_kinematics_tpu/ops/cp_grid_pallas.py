@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .cp_grid import CPGridConfig
 
-DEFAULT_BLOCK = 2048
+DEFAULT_BLOCK = 512  # VMEM-safe under scan/while wrapping (Mosaic multi-buffers)
 
 
 def stack_lines(lines: Sequence[jnp.ndarray], cfg: CPGridConfig) -> jnp.ndarray:
