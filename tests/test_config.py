@@ -57,3 +57,22 @@ def test_roundtrip():
 def test_unknown_keys_rejected():
     with pytest.raises(ValueError):
         config_from_dict({"dataset": {"nonsense_key": 1}})
+
+
+def test_all_shipped_configs_load():
+    """Every YAML under configs/ parses into a valid Config."""
+    import glob
+
+    from nerf_kinematics_tpu.models.ngp import NGPConfig
+
+    paths = sorted(glob.glob("configs/*.yml"))
+    assert len(paths) >= 6
+    for p in paths:
+        cfg = load_config(p)
+        if cfg.engine == "ngp":
+            assert isinstance(cfg.ngp, NGPConfig)
+        # fox_ngp keeps the reference's exact hash-grid dims available.
+        if "fox_ngp" in p:
+            assert cfg.ngp.grid.n_levels == 8
+            assert cfg.ngp.grid.table_size == 2**19
+            assert cfg.ngp.density_width == 64 and cfg.ngp.color_layers == 4
