@@ -127,7 +127,7 @@ def main(argv=None):
         vposes = vposes[: args.video_frames]
         frames = []
         for pose in vposes:
-            out = trainer._render(result.state.params, jnp.asarray(pose))
+            out = trainer._render(result.state.params, jnp.asarray(pose), result.state.aux)
             frames.append(np.asarray(out["rgb"]))
         vid = write_video(os.path.join(args.out, "orbit.mp4"), frames, fps=15)
         print(f"[4/5] wrote {len(frames)}-frame orbit video: {vid}")

@@ -158,7 +158,7 @@ def _render_pose(trainer, state, pose, W, H):
             W / 2.0, H / 2.0, W, H,
         )
     render = trainer.engine.make_render_fn(intr, ds.near, ds.far, ds.use_ndc)
-    out = render(state.params, jnp.asarray(pose))
+    out = render(state.params, jnp.asarray(pose), state.aux)
     return np.clip(np.asarray(out["rgb"]) * 255, 0, 255).astype("uint8")
 
 

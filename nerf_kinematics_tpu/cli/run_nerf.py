@@ -114,7 +114,7 @@ def _render_video(trainer, state):
     import jax.numpy as jnp
 
     for i, pose in enumerate(poses):
-        out = trainer._render(state.params, jnp.asarray(pose))
+        out = trainer._render(state.params, jnp.asarray(pose), state.aux)
         img = np.clip(np.asarray(out["rgb"]) * 255, 0, 255).astype(np.uint8)
         Image.fromarray(img).save(os.path.join(outdir, f"frame_{i:04d}.png"))
     print(f"wrote {len(poses)} frames to {outdir}")

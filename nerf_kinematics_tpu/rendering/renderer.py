@@ -153,6 +153,7 @@ def render_image(
     use_viewdirs: bool = True,
     chunk_rays: Optional[int] = None,
     viewdirs=None,
+    proposal_fn=None,
 ):
     """Render an (H, W) image by mapping ``render_rays`` over fixed-size ray
     chunks (lax.map ⇒ one compiled program, serial chunks, bounded memory).
@@ -198,6 +199,7 @@ def render_image(
             apply_fine=apply_fine,
             use_viewdirs=use_viewdirs,
             viewdirs=vd,
+            proposal_fn=proposal_fn,
         )
         out = fine if fine is not None else coarse
         return out.rgb, out.disp, out.acc, out.depth

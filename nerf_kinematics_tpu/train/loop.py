@@ -219,7 +219,7 @@ class ClassicNerf:
         has_fine = self.model_fine is not None and settings.num_fine > 0
 
         @jax.jit
-        def render_view(params, c2w):
+        def render_view(params, c2w, aux=None):
             rays_o, rays_d = get_rays(
                 H, W, intrinsics.fl_x, c2w, cx=intrinsics.cx,
                 cy=intrinsics.cy, focal_y=intrinsics.fl_y,
@@ -241,6 +241,7 @@ class ClassicNerf:
                 apply_fine=self.apply_fine if has_fine else None,
                 use_viewdirs=cfg.nerf.use_viewdirs,
                 viewdirs=viewdirs,
+                proposal_fn=self.proposal_for(aux, near, far, settings),
             )
 
         return render_view

@@ -99,7 +99,7 @@ class Trainer:
         if len(ds.val_idx) == 0:
             return {}
         i = int(ds.val_idx[0])
-        out = self._render(state.params, jnp.asarray(ds.poses[i]))
+        out = self._render(state.params, jnp.asarray(ds.poses[i]), state.aux)
         pred = np.asarray(out["rgb"])
         gt = ds.images[i]
         val_mse = float(np.mean((pred - gt) ** 2))
@@ -116,7 +116,7 @@ class Trainer:
         idx = {"train": ds.train_idx, "val": ds.val_idx, "test": ds.test_idx}[split]
         scores = []
         for i in idx:
-            out = self._render(state.params, jnp.asarray(ds.poses[int(i)]))
+            out = self._render(state.params, jnp.asarray(ds.poses[int(i)]), state.aux)
             scores.append(psnr(np.asarray(out["rgb"]), ds.images[int(i)]))
         return {
             "per_frame": scores,
