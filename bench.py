@@ -9,10 +9,12 @@ Baseline: the reference's Instant-NGP training on a Tesla T4 ran 56.78 steps/s
 ~232,570 rays/s. ``vs_baseline`` is our rays/s divided by that.
 
 Flagship configuration: NGP-class engine with the folded CP Pallas encoder
-(bf16 MLPs), occupancy-guided single-pass sampling at 64 samples/ray — the
-TPU-native equivalent of instant-ngp's occupancy-pruned marching
-(ARCHITECTURE.md §3-4). Timing uses in-jit lax.scan repetition so host/tunnel
-dispatch latency is excluded (steady-state step time).
+(bf16 MLPs), occupancy-guided single-pass sampling at 32 samples/ray — the
+TPU-native equivalent of instant-ngp's occupancy-pruned marching, which also
+lands near ~32 effective samples/ray (ARCHITECTURE.md §3-4; quality at this
+setting: 38.8 dB on the synthetic scene @2k steps, vs 40.7 dB at 64 samples).
+Timing uses in-jit lax.scan repetition so host/tunnel dispatch latency is
+excluded (steady-state step time).
 """
 
 from __future__ import annotations
@@ -46,8 +48,8 @@ def main() -> None:
             use_occupancy=True, occ_resolution=96, occ_update_every=256,
         ),
         nerf=NeRFConfig(
-            train=RenderSettings(num_coarse=64, num_fine=0, perturb=True),
-            validation=RenderSettings(num_coarse=64, num_fine=0, perturb=False),
+            train=RenderSettings(num_coarse=32, num_fine=0, perturb=True),
+            validation=RenderSettings(num_coarse=32, num_fine=0, perturb=False),
             num_random_rays=n_rays,
         ),
         optimizer=OptimizerConfig(lr=1e-2),
