@@ -29,6 +29,9 @@ from ..ops.sh import sh_encode
 @dataclass(frozen=True)
 class NGPConfig:
     # Positional encoder:
+    #   "auto"      — cp_pallas on TPU, cp elsewhere (the analog of the
+    #                 reference picking FullyFusedMLP vs CutlassMLP by
+    #                 compute capability, notebook cell 15).
     #   "cp"        — CP-factorized folded multires grid via XLA matmuls
     #                 (runs everywhere; TPU-native design).
     #   "cp_pallas" — same math as one fused Pallas TPU kernel (fastest;
@@ -37,6 +40,13 @@ class NGPConfig:
     #                 on TPU; kept for parity/validation — see
     #                 ops/cp_grid.py docstring for the rationale).
     encoder: str = "cp"
+
+    def resolved_encoder(self) -> str:
+        if self.encoder != "auto":
+            return self.encoder
+        import jax
+
+        return "cp_pallas" if jax.default_backend() == "tpu" else "cp"
     grid: HashGridConfig = field(default_factory=HashGridConfig)
     cp: CPGridConfig = field(default_factory=CPGridConfig)
     density_width: int = 64
@@ -83,11 +93,12 @@ class NGPModel(nn.Module):
 
     def setup(self):
         cfg = self.config
-        if cfg.encoder == "hash":
+        enc = cfg.resolved_encoder()
+        if enc == "hash":
             self.table = self.param(
                 "hash_table", lambda key: init_table(key, cfg.grid)
             )
-        elif cfg.encoder == "cp":
+        elif enc == "cp":
             shape = (3, cfg.cp.table_size, cfg.cp.n_components)
             self.cp_lines = [
                 self.param(
@@ -96,14 +107,14 @@ class NGPModel(nn.Module):
                 )
                 for l in range(cfg.cp.n_levels)
             ]
-        elif cfg.encoder == "cp_pallas":
+        elif enc == "cp_pallas":
             from ..ops.cp_grid_pallas import init_stacked_lines
 
             self.cp_stacked = self.param(
                 "cp_lines", lambda key: init_stacked_lines(key, cfg.cp)
             )
         else:
-            raise ValueError(f"unknown encoder {cfg.encoder!r}")
+            raise ValueError(f"unknown encoder {enc!r}")
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.density_mlp = [
             nn.Dense(cfg.density_width, name=f"density_{i}", dtype=dtype)
@@ -116,9 +127,10 @@ class NGPModel(nn.Module):
 
     def encode(self, xyz):
         cfg = self.config
-        if cfg.encoder == "hash":
+        enc = cfg.resolved_encoder()
+        if enc == "hash":
             return hash_encode(self.table, xyz, cfg.grid)
-        if cfg.encoder == "cp_pallas":
+        if enc == "cp_pallas":
             from ..ops.cp_grid_pallas import cp_encode_pallas
 
             interpret = jax.default_backend() != "tpu"

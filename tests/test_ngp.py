@@ -93,3 +93,11 @@ def test_density_grid_query():
     grid = engine.density_grid(state.params, resolution=8)
     assert grid.shape == (8, 8, 8)
     assert (np.asarray(grid) > 0).all()
+
+
+def test_encoder_auto_resolves_to_cp_on_cpu():
+    cfg = NGPConfig(encoder="auto")
+    assert cfg.resolved_encoder() == "cp"  # tests run on CPU
+    model = NGPModel(NGPConfig(encoder="auto", cp=_small_ngp().cp))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)), jnp.zeros((1, 3)))
+    assert any(k.startswith("cp_lines") for k in params["params"])
