@@ -26,13 +26,46 @@ def field_fn(pts: np.ndarray):
     return rgb, sigma
 
 
-def _render_gt(pose, H, W, focal, near, far, n_samples=192):
-    """Analytic volume render of field_fn along pinhole rays (numpy)."""
+# Fixed blob layout for the "blobs" variant (deterministic, no RNG at trace).
+_BLOBS = np.array(
+    [  # x, y, z, radius
+        [0.00, 0.00, 0.00, 0.30],
+        [0.55, 0.10, 0.15, 0.18],
+        [-0.45, 0.35, -0.20, 0.15],
+        [0.15, -0.55, 0.25, 0.12],
+        [-0.25, -0.30, -0.45, 0.20],
+        [0.35, 0.45, -0.35, 0.10],
+    ]
+)
+_BLOB_COLORS = np.array(
+    [
+        [0.9, 0.2, 0.2], [0.2, 0.8, 0.3], [0.2, 0.3, 0.9],
+        [0.9, 0.8, 0.1], [0.8, 0.2, 0.8], [0.1, 0.8, 0.8],
+    ]
+)
+
+
+def field_fn_blobs(pts: np.ndarray):
+    """Harder ground truth: six colored blobs with high-frequency striping —
+    stresses multi-level capacity and fold-collision disambiguation."""
+    flat = pts.reshape(-1, 3)
+    d = np.linalg.norm(flat[:, None, :] - _BLOBS[None, :, :3], axis=-1)
+    act = 1.0 / (1.0 + np.exp((d - _BLOBS[None, :, 3]) * 40.0))  # (N, B)
+    sigma = 60.0 * act.max(axis=1)
+    w = act / (act.sum(axis=1, keepdims=True) + 1e-9)
+    base = w @ _BLOB_COLORS
+    stripes = 0.25 * np.sin(14.0 * flat[:, 0:1] + 9.0 * flat[:, 2:3])
+    rgb = np.clip(base + stripes, 0.02, 0.98)
+    return rgb.reshape(*pts.shape[:-1], 3), sigma.reshape(pts.shape[:-1])
+
+
+def _render_gt(pose, H, W, focal, near, far, n_samples=192, field=field_fn):
+    """Analytic volume render of a ground-truth field along pinhole rays."""
     rays_o, rays_d = get_rays(H, W, focal, pose.astype(np.float32))
     rays_o, rays_d = np.asarray(rays_o), np.asarray(rays_d)
     t = np.linspace(near, far, n_samples, dtype=np.float32)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * t[:, None]
-    rgb, sigma = field_fn(pts)
+    rgb, sigma = field(pts)
 
     dists = np.diff(t)
     dists = np.append(dists, 1e10).astype(np.float32)
@@ -53,11 +86,14 @@ def make_synthetic_scene(
     near: float = 0.5,
     far: float = 3.5,
     seed: int = 0,
+    variant: str = "sphere",
 ) -> NerfDataset:
-    """Build the synthetic dataset; ``cfg`` may override via attributes."""
+    """Build the synthetic dataset; ``cfg`` may override via attributes.
+    ``variant``: "sphere" (easy) or "blobs" (multi-object, high-frequency)."""
     if cfg is not None:
         near = float(getattr(cfg, "near", near))
         far = float(getattr(cfg, "far", far))
+    field = field_fn if variant == "sphere" else field_fn_blobs
 
     H = W = resolution
     focal = 0.9 * resolution
@@ -76,7 +112,9 @@ def make_synthetic_scene(
         poses.append(ring)
     poses = np.concatenate(poses)[:n_views].astype(np.float32)
 
-    images = np.stack([_render_gt(p, H, W, focal, near, far) for p in poses])
+    images = np.stack(
+        [_render_gt(p, H, W, focal, near, far, field=field) for p in poses]
+    )
 
     idx = np.arange(n_views)
     return NerfDataset(

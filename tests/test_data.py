@@ -159,3 +159,13 @@ def test_dataset_cachedir_roundtrip(wheel_dataset, tmp_path):
     np.testing.assert_array_equal(ds1.poses, ds2.poses)
     assert ds1.intrinsics == ds2.intrinsics
     assert ds1.use_ndc == ds2.use_ndc
+
+
+def test_synthetic_blobs_variant():
+    """Harder procedural scene: multi-object, view-consistent, renders content."""
+    ds = make_synthetic_scene(n_views=5, resolution=24, variant="blobs")
+    assert ds.images.shape == (5, 24, 24, 3)
+    assert ds.images.std() > 0.05  # textured content
+    # Different from the sphere variant.
+    sphere = make_synthetic_scene(n_views=5, resolution=24, variant="sphere")
+    assert not np.allclose(ds.images, sphere.images)
