@@ -40,13 +40,6 @@ class NGPConfig:
     #                 on TPU; kept for parity/validation — see
     #                 ops/cp_grid.py docstring for the rationale).
     encoder: str = "cp"
-
-    def resolved_encoder(self) -> str:
-        if self.encoder != "auto":
-            return self.encoder
-        import jax
-
-        return "cp_pallas" if jax.default_backend() == "tpu" else "cp"
     grid: HashGridConfig = field(default_factory=HashGridConfig)
     cp: CPGridConfig = field(default_factory=CPGridConfig)
     density_width: int = 64
@@ -79,9 +72,16 @@ class NGPConfig:
         own = set(cls.__dataclass_fields__) - {"grid", "cp"}
         return cls(grid=grid, cp=cp, **{k: v for k, v in d.items() if k in own})
 
+    def resolved_encoder(self) -> str:
+        if self.encoder != "auto":
+            return self.encoder
+        return "cp_pallas" if jax.default_backend() == "tpu" else "cp"
+
     @property
     def encoding_dim(self) -> int:
-        return self.cp.out_dim if self.encoder == "cp" else self.grid.out_dim
+        if self.resolved_encoder() == "hash":
+            return self.grid.out_dim
+        return self.cp.out_dim
 
 
 class NGPModel(nn.Module):
