@@ -156,7 +156,7 @@ class Trainer:
             if c and c > 0
         ]
         chunk = max(min(cadences), 1) if cadences else 1
-        if chunk > 1 and not hasattr(self, "_train_many"):
+        if chunk > 1 and getattr(self, "_train_many_chunk", None) != chunk:
             self._train_many = self.engine.make_train_many(
                 ds.intrinsics, ds.near, ds.far, ds.use_ndc, steps_per_call=chunk
             )
