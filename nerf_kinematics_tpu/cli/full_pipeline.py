@@ -106,7 +106,9 @@ def main(argv=None):
         optimizer=OptimizerConfig(lr=1e-2),
         scheduler=SchedulerConfig(lr_decay=50, lr_decay_factor=0.33),
     )
-    dataset = load_dataset(cfg.dataset)
+    dataset = load_dataset(
+        cfg.dataset, white_background=cfg.nerf.train.white_background
+    )
     if args.limit_frames:
         dataset.train_idx = dataset.train_idx[: args.limit_frames]
         print(f"  ablation: training on {len(dataset.train_idx)} frames")

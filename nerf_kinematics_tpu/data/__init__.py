@@ -22,18 +22,26 @@ LOADERS = {
 }
 
 
-def load_dataset(cfg) -> NerfDataset:
-    """Load the dataset described by a DatasetConfig (honoring ``cachedir``)."""
+def load_dataset(cfg, *, white_background: bool = False) -> NerfDataset:
+    """Load the dataset described by a DatasetConfig (honoring ``cachedir``).
+
+    ``white_background`` is the *train-settings* flag
+    (``nerf.train.white_background``): blender-format RGBA ground truth is
+    composited onto white when set, matching the reference, which composites
+    GT with the same flag raw2outputs renders with — the loader must not
+    diverge from the renderer or the loss is biased.
+    """
     if cfg.type not in LOADERS:
         raise ValueError(f"unknown dataset type {cfg.type!r}; have {sorted(LOADERS)}")
     from .cache import cache_path, load_cached, save_cached
 
-    path = cache_path(cfg)
+    kwargs = {"white_background": white_background} if cfg.type == "blender" else {}
+    path = cache_path(cfg, extra=kwargs or None)
     if path is not None:
         cached = load_cached(path)
         if cached is not None:
             return cached
-    ds = LOADERS[cfg.type](cfg)
+    ds = LOADERS[cfg.type](cfg, **kwargs)
     if path is not None:
         save_cached(path, ds)
     return ds

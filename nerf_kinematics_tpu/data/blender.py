@@ -35,9 +35,16 @@ def _load_split(basedir: str, split: str, skip: int):
     return np.stack(imgs), np.stack(poses), float(meta["camera_angle_x"])
 
 
-def load_blender(cfg) -> NerfDataset:
+def load_blender(cfg, white_background: bool = False) -> NerfDataset:
+    """Load a nerf_synthetic-format dataset.
+
+    ``white_background`` comes from the TRAIN settings
+    (``nerf.train.white_background``, lego-lowres3/config.yml:54), not the
+    dataset section: GT must be composited with the same flag raw2outputs
+    renders with, or white-rendered pixels train against black targets.
+    """
     skip = getattr(cfg, "testskip", 1)
-    white = getattr(cfg, "white_background", False)
+    white = white_background
     splits = {}
     for split, s in (("train", 1), ("val", skip), ("test", skip)):
         try:

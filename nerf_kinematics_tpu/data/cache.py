@@ -21,16 +21,21 @@ import numpy as np
 from .types import Intrinsics, NerfDataset
 
 
-def _cache_key(cfg) -> str:
-    payload = json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
+def _cache_key(cfg, extra=None) -> str:
+    d = dataclasses.asdict(cfg)
+    if extra:
+        d["__extra__"] = extra
+    payload = json.dumps(d, sort_keys=True, default=str)
     return hashlib.sha1(payload.encode()).hexdigest()[:16]
 
 
-def cache_path(cfg) -> Optional[str]:
+def cache_path(cfg, extra=None) -> Optional[str]:
+    """Cache file for cfg; ``extra`` folds loader kwargs that affect decoded
+    pixels (e.g. white_background) into the key."""
     cachedir = getattr(cfg, "cachedir", None)
     if not cachedir:
         return None
-    return os.path.join(cachedir, f"dataset_{_cache_key(cfg)}.npz")
+    return os.path.join(cachedir, f"dataset_{_cache_key(cfg, extra)}.npz")
 
 
 def save_cached(path: str, ds: NerfDataset) -> None:

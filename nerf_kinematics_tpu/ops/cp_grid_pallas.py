@@ -132,7 +132,15 @@ def cp_encode_pallas(
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Encode x ∈ [0,1]^3 → (..., L*C). ``lines``: stacked (L, 3, T, C)."""
+    """Encode x ∈ [0,1]^3 → (..., L*C). ``lines``: stacked (L, 3, T, C).
+
+    GRADIENT CONTRACT: the custom VJP returns the exact cotangent for
+    ``lines`` but a ZERO cotangent for ``x`` — sample positions are treated
+    as non-differentiable data (they are stop-gradiented in every training
+    path here). Do NOT differentiate through positions (normals, eikonal or
+    pose-refinement losses) via this encoder; use ``cp_encode`` (pure-jnp,
+    autodiff gives true dx) for that.
+    """
     return _forward(lines, x, cfg, block, interpret)
 
 

@@ -117,9 +117,11 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> jnp.
     feats = []
     for l, res in enumerate(cfg.resolutions):
         xs = x * res  # (N, 3); NGP scales by res, grid has res+1 vertices
-        x0 = jnp.floor(xs).astype(jnp.int32)
-        w = xs - x0  # (N, 3) in [0,1)
-        x0 = jnp.clip(x0, 0, res - 1)
+        # Clip BEFORE the weight so boundary points (x == 1.0 → xs == res)
+        # get x0 = res-1, w = 1 and interpolate toward vertex `res`, matching
+        # hash_encode_ref / NGP semantics.
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, res - 1)
+        w = xs - x0  # (N, 3) in [0,1]
 
         corner_coords = x0[:, None, :] + corners[None, :, :]  # (N, 8, 3)
         idx = _level_indices(corner_coords, res, cfg.table_size)  # (N, 8)

@@ -97,6 +97,12 @@ class ClassicNerf:
         Signature: (state, images, poses) -> (state, metrics). ``images``
         (N, H, W, 3) and ``poses`` (N, 4, 4) are device arrays.
         """
+        raw_step = self._build_train_step(intrinsics, near, far, use_ndc)
+        return jax.jit(raw_step, donate_argnums=(0,) if donate else ())
+
+    def _build_train_step(self, intrinsics, near, far, use_ndc: bool):
+        """The raw (unjitted) train step — shared by make_train_step (jits
+        it directly) and make_train_many (scans it)."""
         cfg = self.cfg
         settings = cfg.nerf.train
         n_rays = cfg.nerf.num_random_rays
@@ -182,7 +188,7 @@ class ClassicNerf:
             }
             return TrainState(state.step + 1, params, opt_state, key, state.aux), metrics
 
-        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        return train_step
 
     def make_train_many(self, intrinsics, near, far, use_ndc: bool,
                         steps_per_call: int = 20):
@@ -192,9 +198,7 @@ class ClassicNerf:
 
         Signature: (state, images, poses) -> (state, metrics of last step).
         """
-        inner = self.make_train_step(intrinsics, near, far, use_ndc, donate=False)
-        # Unwrap the jit to scan the traced function directly.
-        raw_step = inner.__wrapped__
+        raw_step = self._build_train_step(intrinsics, near, far, use_ndc)
 
         def many(state: TrainState, images, poses):
             def body(carry, _):

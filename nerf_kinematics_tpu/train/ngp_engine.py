@@ -50,6 +50,23 @@ class NGPEngine(ClassicNerf):
         self.model = NGPModel(self.ngp_config)
         self.model_fine = None  # hierarchical pass shares params
         self.optimizer = self._make_optimizer(cfg)
+        # Per-instance jitted occupancy updater, built eagerly so it is
+        # explicitly keyed on this engine's model + scene_bound (jit itself
+        # re-traces on aux/params shape changes).
+        self._occ_update_jit = jax.jit(self._occ_update) if (
+            self.ngp_config.use_occupancy
+        ) else None
+
+    def _occ_update(self, aux, params, key):
+        from ..ops.occupancy import update_grid
+
+        def density_fn(pts):
+            sigma, _ = self.model.apply(
+                params["coarse"], self._to_unit(pts), method=NGPModel.density
+            )
+            return sigma
+
+        return update_grid(aux, density_fn, key, chunk=65536)
 
     def _make_optimizer(self, cfg: Config):
         from .loop import lr_schedule
@@ -58,13 +75,15 @@ class NGPEngine(ClassicNerf):
         adam = optax.adam(learning_rate=sched, b1=0.9, b2=0.99, eps=1e-15)
 
         def decay_mask(params):
-            # Weight-decay MLP kernels only; hash table and biases exempt.
-            return jax.tree_util.tree_map_with_path(
-                lambda path, _: not any(
-                    getattr(p, "key", None) == "hash_table" for p in path
-                ),
-                params,
-            )
+            # Weight-decay MLP kernels only; encoding tables (hash_table /
+            # cp_lines) and biases exempt, per NGP optimizer practice.
+            def keep(path, _):
+                keys = [str(getattr(p, "key", "")) for p in path]
+                if any(k == "hash_table" or k.startswith("cp_lines") for k in keys):
+                    return False
+                return not (keys and keys[-1] == "bias")
+
+            return jax.tree_util.tree_map_with_path(keep, params)
 
         return optax.chain(
             optax.add_decayed_weights(1e-6, mask=decay_mask), adam
@@ -111,23 +130,8 @@ class NGPEngine(ClassicNerf):
     def update_occupancy(self, state: TrainState) -> TrainState:
         """Periodic full-sweep EMA refresh of the occupancy grid (call every
         ``occ_update_every`` steps from the training loop)."""
-        if state.aux is None:
+        if state.aux is None or self._occ_update_jit is None:
             return state
-        from ..ops.occupancy import update_grid
-
-        if not hasattr(self, "_occ_update_jit"):
-            def _upd(aux, params, key):
-                def density_fn(pts):
-                    from ..models.ngp import NGPModel
-
-                    sigma, _ = self.model.apply(
-                        params["coarse"], self._to_unit(pts), method=NGPModel.density
-                    )
-                    return sigma
-
-                return update_grid(aux, density_fn, key, chunk=65536)
-
-            self._occ_update_jit = jax.jit(_upd)
         key, sub = jax.random.split(state.key)
         aux = self._occ_update_jit(state.aux, state.params, sub)
         return state._replace(aux=aux, key=key)

@@ -49,7 +49,9 @@ class Trainer:
         export_legacy: bool = False,
     ):
         self.cfg = cfg
-        self.dataset = dataset if dataset is not None else load_dataset(cfg.dataset)
+        self.dataset = dataset if dataset is not None else load_dataset(
+            cfg.dataset, white_background=cfg.nerf.train.white_background
+        )
         self.mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
         if cfg.engine == "ngp":
             from .ngp_engine import NGPEngine
@@ -174,7 +176,7 @@ class Trainer:
             if occ_every and (it % occ_every) < k and it >= occ_every:
                 state = self.engine.update_occupancy(state)
 
-            if (it % exp.print_every) < k or it == total:
+            if exp.print_every > 0 and ((it % exp.print_every) < k or it == total):
                 metrics = {key: float(v) for key, v in metrics.items()}
                 last_metrics = metrics
                 dt = time.perf_counter() - t0

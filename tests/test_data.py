@@ -169,3 +169,53 @@ def test_synthetic_blobs_variant():
     # Different from the sphere variant.
     sphere = make_synthetic_scene(n_views=5, resolution=24, variant="sphere")
     assert not np.allclose(ds.images, sphere.images)
+
+
+def test_blender_white_background_composites_gt(tmp_path):
+    """nerf.train.white_background must reach the blender loader: RGBA GT is
+    composited onto white when set (reference semantics — GT and raw2outputs
+    must share the flag or the loss is biased)."""
+    from PIL import Image
+
+    from nerf_kinematics_tpu.data import load_dataset
+    from nerf_kinematics_tpu.train.config import DatasetConfig
+
+    (tmp_path / "train").mkdir()
+    # Fully transparent image: composites to pure white vs pure black.
+    img = np.zeros((8, 8, 4), np.uint8)
+    Image.fromarray(img, "RGBA").save(tmp_path / "train" / "r_0.png")
+    meta = {
+        "camera_angle_x": 0.69,
+        "frames": [{"file_path": "./train/r_0", "transform_matrix": np.eye(4).tolist()}],
+    }
+    (tmp_path / "transforms_train.json").write_text(json.dumps(meta))
+
+    cfg = DatasetConfig(basedir=str(tmp_path), type="blender", near=2, far=6)
+    black = load_dataset(cfg)
+    white = load_dataset(cfg, white_background=True)
+    assert np.allclose(black.images, 0.0)
+    assert np.allclose(white.images, 1.0)
+
+
+def test_blender_white_background_cache_key_differs(tmp_path):
+    """cachedir must not serve a black-composited cache to a white run."""
+    from PIL import Image
+
+    from nerf_kinematics_tpu.data import load_dataset
+    from nerf_kinematics_tpu.train.config import DatasetConfig
+
+    (tmp_path / "train").mkdir()
+    img = np.zeros((8, 8, 4), np.uint8)
+    Image.fromarray(img, "RGBA").save(tmp_path / "train" / "r_0.png")
+    meta = {
+        "camera_angle_x": 0.69,
+        "frames": [{"file_path": "./train/r_0", "transform_matrix": np.eye(4).tolist()}],
+    }
+    (tmp_path / "transforms_train.json").write_text(json.dumps(meta))
+
+    cfg = DatasetConfig(basedir=str(tmp_path), type="blender", near=2, far=6,
+                        cachedir=str(tmp_path / "cache"))
+    black = load_dataset(cfg)
+    white = load_dataset(cfg, white_background=True)  # must not hit black's cache
+    assert np.allclose(black.images, 0.0)
+    assert np.allclose(white.images, 1.0)

@@ -122,3 +122,28 @@ class TestSHEncode:
         y = np.asarray(sh_encode(d, 3))  # degree 3 → 9 funcs
         gram = 4 * np.pi * (y.T @ y) / y.shape[0]
         np.testing.assert_allclose(gram, np.eye(9), atol=0.05)
+
+
+class TestBoundarySemantics:
+    def test_aabb_boundary_matches_reference(self):
+        """Points exactly on the upper AABB face (x == 1.0) must interpolate
+        toward vertex `res`, matching hash_encode_ref (clip-then-weight)."""
+        cfg = HashGridConfig(n_levels=4, n_features=2, log2_table_size=10,
+                             base_resolution=4, max_resolution=32)
+        table = init_table(jax.random.PRNGKey(3), cfg) * 1e4
+        x = jnp.array(
+            [[1.0, 1.0, 1.0], [1.0, 0.3, 0.7], [0.25, 1.0, 0.5], [0.0, 1.0, 1.0]]
+        )
+        fast = np.asarray(hash_encode(table, x, cfg))
+        slow = hash_encode_ref(table, x, cfg)
+        np.testing.assert_allclose(fast, slow, rtol=1e-4, atol=1e-5)
+
+    def test_boundary_continuity(self):
+        """Encoding approaching the face from inside converges to the
+        on-face value (no weight-collapse discontinuity at x == 1)."""
+        cfg = HashGridConfig(n_levels=2, n_features=2, log2_table_size=10,
+                             base_resolution=4, max_resolution=8)
+        table = init_table(jax.random.PRNGKey(4), cfg) * 1e4
+        near = hash_encode(table, jnp.array([[1.0 - 1e-6, 0.4, 0.6]]), cfg)
+        on = hash_encode(table, jnp.array([[1.0, 0.4, 0.6]]), cfg)
+        np.testing.assert_allclose(np.asarray(near), np.asarray(on), atol=1e-3)

@@ -81,3 +81,24 @@ def test_plot_metrics(smoke_cfg, capsys):
     lossdir = os.path.join(trainer.rundir, "loss")
     files = set(os.listdir(lossdir))
     assert {"train_loss.png", "train_psnr.png", "val_loss.png", "val_psnr.png"} <= files
+
+
+def test_silent_run_print_every_zero(smoke_cfg):
+    """print_every: 0 (silent run) must not crash with ZeroDivisionError and
+    must be consistent with the other cadence guards."""
+    import yaml as _yaml
+
+    from nerf_kinematics_tpu.train.config import load_config
+    from nerf_kinematics_tpu.train.trainer import Trainer
+
+    cfg_path, tmp = smoke_cfg
+    raw = _yaml.safe_load(cfg_path.read_text())
+    raw["experiment"]["print_every"] = 0
+    raw["experiment"]["validate_every"] = 0
+    raw["experiment"]["save_every"] = 0
+    silent = tmp / "silent.yml"
+    silent.write_text(_yaml.safe_dump(raw))
+    trainer = Trainer(load_config(str(silent)))
+    result = trainer.fit(max_iters=40)
+    assert int(result.state.step) == 40
+    trainer.close()
