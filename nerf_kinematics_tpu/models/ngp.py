@@ -64,10 +64,11 @@ class NGPConfig:
         cp_keys = set(CPGridConfig.__dataclass_fields__) - grid_keys
         cp_kwargs = {k: v for k, v in d.items() if k in cp_keys}
         # Shared names (n_levels, base_resolution, max_resolution) configure
-        # whichever encoder is selected.
-        if d.get("encoder", "cp") == "cp":
-            shared = set(CPGridConfig.__dataclass_fields__) & grid_keys
-            cp_kwargs.update({k: v for k, v in d.items() if k in shared})
+        # BOTH encoders unconditionally — the encoder selection (including
+        # "auto"/"cp_pallas") decides which is used at runtime, so gating on
+        # the name here would silently drop YAML values for cp variants.
+        shared = set(CPGridConfig.__dataclass_fields__) & grid_keys
+        cp_kwargs.update({k: v for k, v in d.items() if k in shared})
         cp = CPGridConfig(**cp_kwargs)
         own = set(cls.__dataclass_fields__) - {"grid", "cp"}
         return cls(grid=grid, cp=cp, **{k: v for k, v in d.items() if k in own})
