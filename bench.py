@@ -1,106 +1,179 @@
 #!/usr/bin/env python3
-"""Benchmark: training throughput in rays/sec/chip on the flagship engine.
+"""Benchmark: flagship-engine training throughput on the lego-class machina
+workload (400x400, 100 views, white background), with honest accounting.
 
 Prints ONE JSON line:
-  {"metric": "train_rays_per_sec_per_chip", "value": N, "unit": "rays/s", "vs_baseline": R}
+  {"metric": "train_rays_per_sec_per_chip", "value": N, "unit": "rays/s",
+   "vs_baseline": R, ...extras}
 
-Baseline: the reference's Instant-NGP training on a Tesla T4 ran 56.78 steps/s
-(instant_ngp_collab_cloud.ipynb cell 23) at the default 4096-ray batch ⇒
-~232,570 rays/s. ``vs_baseline`` is our rays/s divided by that.
-
-Flagship configuration: NGP-class engine with the folded CP Pallas encoder
-(bf16 MLPs), occupancy-guided single-pass sampling at 32 samples/ray — the
-TPU-native equivalent of instant-ngp's occupancy-pruned marching, which also
-lands near ~32 effective samples/ray (ARCHITECTURE.md §3-4; quality at this
-setting: 38.8 dB on the synthetic scene @2k steps, vs 40.7 dB at 64 samples).
-Timing uses in-jit lax.scan repetition so host/tunnel dispatch latency is
-excluded (steady-state step time).
+Honest accounting (round-2 upgrades over the round-1 bench):
+- The workload is the lego-class scene (cache/machina400, generated on
+  demand), not a 64px toy — ray gather, the occupancy grid, and HBM are
+  exercised at realistic scale, and the SAME config demonstrably reaches
+  >25 dB (configs/machina_ngp.yml).
+- ``vs_baseline`` compares SAMPLES/sec, the only unit the reference
+  publishes unambiguously: instant-ngp trains 2^18 = 262,144 samples/step
+  (its default batch, in samples — not rays) at 56.78 steps/s on the T4
+  (instant_ngp_collab_cloud.ipynb cell 23) ⇒ 14.88M samples/s. The round-1
+  conversion assumed 4096 rays/step, which understated the T4 by 2-4x.
+- FLOPs are counted analytically from the model config (encoder + MLPs,
+  fwd+bwd — utils/flops.py; XLA's cost_analysis undercounts scan bodies
+  and Pallas custom calls); MFU = TFLOP/s / chip peak (bf16).
+- time-to-25dB PSNR on this workload is measured by actually training,
+  reported both including and excluding compile time.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 import time
 
-BASELINE_RAYS_PER_SEC = 56.78 * 4096  # reference T4 throughput
+# Reference T4 throughput in samples/s: 56.78 steps/s x 2^18 samples/step.
+BASELINE_SAMPLES_PER_SEC = 56.78 * 262_144
+# Known bf16 peaks per chip kind (TFLOP/s -> FLOP/s).
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+DATASET_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "cache", "machina400")
+QUALITY_TARGET_DB = 25.0
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from nerf_kinematics_tpu.data import make_synthetic_scene
-    from nerf_kinematics_tpu.models.ngp import NGPConfig
-    from nerf_kinematics_tpu.ops.cp_grid import CPGridConfig
-    from nerf_kinematics_tpu.rendering.renderer import RenderSettings
-    from nerf_kinematics_tpu.train.config import Config, NeRFConfig, OptimizerConfig
-    from nerf_kinematics_tpu.train.ngp_engine import NGPEngine
+    from nerf_kinematics_tpu.data import load_dataset
+    from nerf_kinematics_tpu.data.machina import write_machina_dataset
+    from nerf_kinematics_tpu.metrics.psnr import psnr
+    from nerf_kinematics_tpu.train.config import load_config
+    from nerf_kinematics_tpu.train.trainer import Trainer
+    from nerf_kinematics_tpu.utils.flops import train_step_flops
 
-    n_rays = 4096
     on_tpu = jax.default_backend() == "tpu"
-    cfg = Config(
-        engine="ngp",
-        ngp=NGPConfig(
-            encoder="cp_pallas" if on_tpu else "cp",
-            cp=CPGridConfig(n_levels=4, n_components=32, base_resolution=32,
-                            max_resolution=512, table_size=128),
-            compute_dtype="bfloat16",
-            use_occupancy=True, occ_resolution=96, occ_update_every=256,
-        ),
-        nerf=NeRFConfig(
-            train=RenderSettings(num_coarse=32, num_fine=0, perturb=True),
-            validation=RenderSettings(num_coarse=32, num_fine=0, perturb=False),
-            num_random_rays=n_rays,
-        ),
-        optimizer=OptimizerConfig(lr=1e-2),
-    )
 
-    ds = make_synthetic_scene(n_views=9, resolution=64)
-    images = jnp.asarray(ds.images)
-    poses = jnp.asarray(ds.poses)
-
-    engine = NGPEngine(cfg, scene_bound=1.0)
-    state = engine.init_state(0)
-    raw = engine.make_train_step(
-        ds.intrinsics, ds.near, ds.far, False, donate=False
-    ).__wrapped__
-
-    def make_many(n):
-        @jax.jit
-        def many(s):
-            def body(c, _):
-                c, m = raw(c, images, poses)
-                return c, m["loss"]
-
-            c, losses = jax.lax.scan(body, s, None, length=n)
-            return c, losses[-1]
-
-        return many
-
-    reps_small, reps_big = (2, 8) if not on_tpu else (8, 40)
-    t = {}
-    for n in (reps_small, reps_big):
-        many = make_many(n)
-        s, l = many(state)
-        float(l)  # compile + run
-        t0 = time.perf_counter()
-        s, l = many(state)
-        float(l)
-        t[n] = time.perf_counter() - t0
-    step_s = (t[reps_big] - t[reps_small]) / (reps_big - reps_small)
-
-    n_chips = len(jax.devices())
-    rays_per_sec = n_rays / step_s / max(n_chips, 1)
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_sec_per_chip",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-            }
+    cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "configs", "machina_ngp.yml"))
+    if on_tpu:
+        write_machina_dataset(DATASET_DIR)  # idempotent (marker file)
+        dataset = load_dataset(
+            dataclasses.replace(cfg.dataset, basedir=DATASET_DIR),
+            white_background=cfg.nerf.train.white_background,
         )
-    )
+    else:
+        # CPU/dev fallback: same code path, toy scale.
+        from nerf_kinematics_tpu.data import make_synthetic_scene
+        from nerf_kinematics_tpu.rendering.renderer import RenderSettings
+
+        dataset = make_synthetic_scene(n_views=9, resolution=64)
+        small = RenderSettings(num_coarse=16, num_fine=16, perturb=True)
+        cfg = cfg.replace(nerf=dataclasses.replace(
+            cfg.nerf, train=small,
+            validation=dataclasses.replace(small, perturb=False),
+            num_random_rays=512,
+        ))
+
+    trainer = Trainer(cfg.replace(
+        experiment=dataclasses.replace(cfg.experiment, logdir="/tmp/bench_logs")
+    ), dataset=dataset)
+    engine = trainer.engine
+    ds = trainer.dataset
+    images, poses = trainer.images, trainer.poses
+    n_rays = cfg.nerf.num_random_rays
+    samples_per_ray = cfg.nerf.train.num_coarse + cfg.nerf.train.num_fine
+
+    # ---- steady-state step time + measured FLOPs ----------------------
+    # NOTE: two warm-up calls, then time the SUM of several calls — under
+    # the remote-chip tunnel the first post-warmup call can report ready
+    # before execution completes (donation aliasing), so single-call
+    # timings are unreliable.
+    state = engine.init_state(0)
+    reps_small, reps_big = (8, 40) if on_tpu else (2, 6)
+    timed_calls = 3
+    times = {}
+    flops_per_step = train_step_flops(cfg, n_rays)
+    for n in (reps_small, reps_big):
+        many = engine.make_train_many(ds.intrinsics, ds.near, ds.far,
+                                      ds.use_ndc, steps_per_call=n)
+        compiled = many.lower(state, images, poses).compile()
+        s = state
+        for _ in range(2):                       # warm-up (donates input)
+            s, m = compiled(s, images, poses)
+            float(m["loss"])                     # host read = real sync
+        t0 = time.perf_counter()
+        for _ in range(timed_calls):
+            s, m = compiled(s, images, poses)
+            # NOTE: jax.block_until_ready does NOT synchronize on the
+            # experimental remote-chip platform; a host scalar read does.
+            float(m["loss"])
+        times[n] = (time.perf_counter() - t0) / timed_calls
+        state = engine.init_state(0)             # fresh (previous donated)
+    step_s = (times[reps_big] - times[reps_small]) / (reps_big - reps_small)
+
+    n_chips = max(len(jax.devices()), 1)
+    rays_per_sec = n_rays / step_s / n_chips
+    samples_per_sec = rays_per_sec * samples_per_ray
+    tflops = flops_per_step / step_s / 1e12 / n_chips
+
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(kind)
+    mfu_pct = (flops_per_step / step_s / peak * 100.0 / n_chips) if peak else None
+
+    # ---- time-to-25dB on this workload (actually train) ---------------
+    t25_incl = t25_post = None
+    if on_tpu:
+        chunk = 250
+        many = engine.make_train_many(ds.intrinsics, ds.near, ds.far,
+                                      ds.use_ndc, steps_per_call=chunk)
+        render = engine.make_render_fn(ds.intrinsics, ds.near, ds.far, ds.use_ndc)
+        vi = int(ds.val_idx[0])
+        gt = ds.images[vi]
+        vpose = jnp.asarray(ds.poses[vi])
+        state = engine.init_state(0)
+        t_start = time.perf_counter()
+        t_post = None
+        for it in range(1, 17):  # cap 4000 steps
+            state, m = many(state, images, poses)
+            state = engine.update_occupancy(state)
+            val = float(psnr(np.asarray(render(state.params, vpose,
+                                                state.aux)["rgb"]), gt))
+            if t_post is None:
+                t_post = time.perf_counter()  # compile done inside 1st chunk
+            if val >= QUALITY_TARGET_DB:
+                now = time.perf_counter()
+                t25_incl = now - t_start
+                # Post-compile estimate: subtract first-chunk overhead beyond
+                # the steady step time.
+                t25_post = max(now - t_post, 0.0) + chunk * step_s
+                break
+
+    out = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC / n_chips, 3),
+        "samples_per_sec_per_chip": round(samples_per_sec, 0),
+        "samples_per_ray": samples_per_ray,
+        "step_ms": round(step_s * 1e3, 3),
+        "analytic_tflops_per_chip": round(tflops, 2),
+        "mfu_pct": round(mfu_pct, 2) if mfu_pct is not None else None,
+        "device_kind": kind,
+        "workload": "machina400 (lego-class, 400x400, 100 views)" if on_tpu
+                    else "synthetic64 (dev fallback)",
+        "baseline_derivation": "T4 56.78 steps/s x 2^18 samples/step "
+                               "= 14.88M samples/s (cell 23); ratio in samples/s",
+        "time_to_25db_s": round(t25_incl, 1) if t25_incl else None,
+        "time_to_25db_post_compile_s": round(t25_post, 1) if t25_post else None,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

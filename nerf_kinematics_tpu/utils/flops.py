@@ -1,0 +1,90 @@
+"""Analytic FLOPs accounting for the training step (bench MFU reporting).
+
+XLA's compiled-executable ``cost_analysis()`` undercounts here: ``lax.scan``
+bodies are counted once regardless of trip count, and Pallas kernels are
+opaque custom calls (0 flops). These formulas count the real work per sample
+point from the model configuration; backward = 2x forward for the
+matmul-dominated paths (dW and dx each cost one forward-shaped matmul).
+
+Convention: one fused multiply-add = 2 FLOPs (matmul m·k·n → 2mkn).
+"""
+
+from __future__ import annotations
+
+
+def _mlp_fwd(dims) -> int:
+    """FLOPs/point for a dense chain with layer widths ``dims``."""
+    return sum(2 * a * b for a, b in zip(dims[:-1], dims[1:]))
+
+
+def cp_encoder_flops_per_point(cp) -> int:
+    """Folded-CP encoder (ops/cp_grid.py, ops/cp_grid_pallas.py).
+
+    Per level, per axis: a two-hot (1,T)x(T,C) interpolation matmul = 2TC
+    forward. Backward recomputes the three axis interpolations (6TC) and
+    accumulates dlines via (T,B)x(B,C) matmuls (2TC per axis = 6TC).
+    Total = L * (6TC fwd + 12TC bwd) = 18*L*T*C.
+    """
+    return 18 * cp.n_levels * cp.table_size * cp.n_components
+
+
+def hash_encoder_flops_per_point(grid) -> int:
+    """Hash-grid encode: 8 corners x F features x (hash + lerp) ≈ 60 flops
+    per corner-feature forward; gather-bound in practice (flops are not the
+    bottleneck — reported for completeness). Backward ~2x.
+    """
+    return 3 * 60 * grid.n_levels * grid.n_features
+
+
+def ngp_flops_per_point(ngp) -> int:
+    """NGP model: encoder + density MLP + SH + color MLP, fwd+bwd."""
+    if ngp.resolved_encoder() in ("cp", "cp_pallas", "auto"):
+        enc = cp_encoder_flops_per_point(ngp.cp)
+        enc_dim = ngp.cp.out_dim
+    else:
+        enc = hash_encoder_flops_per_point(ngp.grid)
+        enc_dim = ngp.grid.out_dim
+    density_dims = [enc_dim] + [ngp.density_width] * ngp.density_layers + [ngp.density_out]
+    sh_dim = ngp.sh_degree**2
+    color_dims = (
+        [ngp.density_out - 1 + sh_dim]
+        + [ngp.color_width] * ngp.color_layers
+        + [3]
+    )
+    mlps_fwd = _mlp_fwd(density_dims) + _mlp_fwd(color_dims)
+    sh = 2 * sh_dim  # polynomial eval, ~2 flops/coefficient
+    compositing = 100  # alpha/transmittance/accumulation per point
+    return enc + 3 * mlps_fwd + sh + compositing
+
+
+def classic_flops_per_point(model_cfg, use_viewdirs: bool = True) -> int:
+    """FlexibleNeRF: positional encodings + trunk + dir branch, fwd+bwd.
+
+    Honors the checkpoint-exact 4-layer trunk (models/flexible_nerf.py):
+    layer1 + 3 trunk layers + fc_feat (+ dir branch when use_viewdirs).
+    """
+    w = model_cfg.hidden_size
+    xyz_dim = 3 * (1 + 2 * model_cfg.num_encoding_fn_xyz)
+    dir_dim = 3 * (1 + 2 * model_cfg.num_encoding_fn_dir)
+    pe = 4 * (xyz_dim + (dir_dim if use_viewdirs else 0))  # sin+cos evals
+    dims = [xyz_dim, w, w, w, w]  # layer1 + layers_xyz.{0,1,2}
+    fwd = _mlp_fwd(dims) + 2 * w * w  # + fc_feat
+    if use_viewdirs:
+        fwd += 2 * (w + dir_dim) * (w // 2) + 2 * (w // 2) * 3 + 2 * w * 1
+    else:
+        fwd += 2 * w * 4
+    return pe + 3 * fwd + 100
+
+
+def train_step_flops(cfg, n_rays: int) -> float:
+    """Total training-step FLOPs for ``n_rays`` rays under ``cfg``."""
+    s = cfg.nerf.train
+    points = n_rays * (s.num_coarse + s.num_fine)
+    if cfg.engine == "ngp":
+        per_point = ngp_flops_per_point(cfg.ngp)
+        return float(points) * per_point
+    # classic: coarse samples through coarse model, coarse+fine through fine.
+    per_point = classic_flops_per_point(cfg.model_coarse, cfg.nerf.use_viewdirs)
+    coarse_pts = n_rays * s.num_coarse
+    fine_pts = n_rays * (s.num_coarse + s.num_fine) if s.num_fine > 0 else 0
+    return float(coarse_pts + fine_pts) * per_point
