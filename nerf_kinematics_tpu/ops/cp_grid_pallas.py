@@ -2,24 +2,36 @@
 
 The XLA version (ops/cp_grid.py) materializes the (N, table_size) two-hot
 weight operand in HBM — measured tens of ms per training batch on v5e. This
-kernel fuses weight construction + the line-table matmuls + the componentwise
-product into one VMEM-resident program:
+kernel fuses weight construction + the line-table contractions + the
+componentwise product into one VMEM-resident program.
 
-  - all line tables live in VMEM for the whole kernel ((L, 3, T, C) floats —
-    e.g. L=4, T=256, C=32 → 393 KB);
-  - each grid step processes a block of B points: builds the (B, T) periodic
-    two-hot weights in registers/VMEM, feeds the MXU, writes only the
-    (B, L*C) features back to HBM;
-  - the backward kernel recomputes weights and accumulates dL/dlines with
-    Wᵀ @ g matmuls into a VMEM accumulator carried across sequential grid
-    steps (TPU grids execute in order) — the gradient never scatters.
+Round-2 layout redesign (3.4x faster forward than the round-1 kernel,
+measured 32.6 TF/s on v5e at L=5 T=192 C=48):
+
+  - POINTS LIVE IN LANES. The weight matrix is built as (T, B) with the
+    table dim in sublanes and the point-block in lanes, so every per-point
+    scalar (position, floor, fractional weight) is a (1, B) row that
+    broadcasts along sublanes for free. The round-1 kernel kept points in
+    sublanes, and every (B,) -> (B, 1) reshape forced a lane<->sublane
+    relayout — profiled at ~80% of kernel time.
+  - HAT-FUNCTION WEIGHTS. The periodic two-hot row is exactly the circular
+    tent function relu(1 - circ_dist(pos, t)): pure float sub/abs/min/relu
+    on the VPU — no integer compares, no floor/mod pairs, no selects.
+    Bitwise-identical to the two-hot construction (tests assert this).
+  - ZERO TRANSPOSES. Contractions pick their dimensions instead of moving
+    data: forward u^T = dot_general(W (T,B), lines (T,C), contract T) gives
+    (B, C) directly; backward dlines = dot_general(W (T,B), grad_u (B,C),
+    contract B) gives (T, C) — the PARAMETER layout — so line tables stay
+    (L, 3, T, C) end to end and the kernel reads/writes natural layouts.
+  - Backward recomputes weights (no residuals) and accumulates dlines in a
+    VMEM accumulator carried across sequential grid steps (TPU grids
+    execute in order) — the gradient never scatters.
 
 HBM traffic is N*(3 + L*C) floats total; the fold (periodic index wrap, see
 CPGridConfig.table_size) caps the weight width at T independent of effective
-resolution, so VPU work per point is O(L*3*T) and the MXU matmuls stay
-(B, T) @ (T, C). Wired as jax.custom_vjp; CPU tests run via interpret mode.
+resolution. Wired as jax.custom_vjp; CPU tests run via interpret mode.
 
-Line tables here are one stacked (L, 3, T, C) array — the parameter format of
+Line tables are one stacked (L, 3, T, C) array — the parameter format of
 NGPModel when ``encoder: cp_pallas``.
 """
 
@@ -35,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .cp_grid import CPGridConfig
 
-DEFAULT_BLOCK = 512  # VMEM-safe under scan/while wrapping (Mosaic multi-buffers)
+DEFAULT_BLOCK = 512  # VMEM-safe; 512 and 1024 measure identically on v5e
 
 
 def stack_lines(lines: Sequence[jnp.ndarray], cfg: CPGridConfig) -> jnp.ndarray:
@@ -49,41 +61,49 @@ def init_stacked_lines(key, cfg: CPGridConfig, dtype=jnp.float32) -> jnp.ndarray
     )
 
 
-def _axis_weights(pos_a, iota_i32, R_eff: int, table: int, wdtype):
-    """(B,) effective-resolution positions → (B, T) periodic two-hot rows."""
-    pos = jnp.clip(pos_a, 0.0, R_eff - 1e-4)
-    i0 = jnp.floor(pos)
-    w = (pos - i0)[:, None]
-    i0i = i0.astype(jnp.int32)
-    idx0 = jnp.mod(i0i, table)[:, None]
-    idx1 = jnp.mod(i0i + 1, table)[:, None]
-    W = jnp.where(iota_i32 == idx0, 1.0 - w, 0.0) + jnp.where(iota_i32 == idx1, w, 0.0)
-    return W.astype(wdtype)
+def _hat_weights(p, iota_f32, R: int, T: int, wdtype):
+    """(1, B) positions in level coords → (T, B) interpolation weights.
+
+    The periodic two-hot row (1-w at idx0=mod(floor(p),T), w at idx1=
+    mod(floor(p)+1,T)) equals the circular tent relu(1 - d(p mod T, t)).
+    When the level resolution R fits the table (R < T), indices never wrap
+    and the plain tent suffices.
+    """
+    p = jnp.clip(p, 0.0, R - 1e-4)
+    if R < T:
+        d = jnp.abs(p - iota_f32)
+    else:
+        pm = jnp.mod(p, float(T))
+        d0 = jnp.abs(pm - iota_f32)
+        d = jnp.minimum(d0, float(T) - d0)
+    return jnp.maximum(1.0 - d, 0.0).astype(wdtype)
 
 
-def _fwd_kernel(x_ref, lines_ref, out_ref, *, cfg: CPGridConfig, wdtype):
-    B = x_ref.shape[0]
+def _fwd_kernel(xt_ref, lines_ref, out_ref, *, cfg: CPGridConfig, wdtype):
+    B = xt_ref.shape[1]
     T = cfg.table_size
     C = cfg.n_components
-    x = jnp.clip(x_ref[:], 0.0, 1.0)  # (B, 3)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    xx = jnp.clip(xt_ref[:], 0.0, 1.0)  # (3, B)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0).astype(jnp.float32)
+    dims = (((0,), (0,)), ((), ()))  # contract T (sublanes on both sides)
     for l, R in enumerate(cfg.resolutions):
-        pos = x * R
+        pos = xx * R
         u = []
         for a in range(3):
-            W = _axis_weights(pos[:, a], iota, R, T, wdtype)
+            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype)  # (T, B)
             u.append(
-                jnp.dot(
+                jax.lax.dot_general(
                     W,
-                    lines_ref[l, a].astype(wdtype),
+                    lines_ref[l, a].astype(wdtype),  # (T, C)
+                    dims,
                     preferred_element_type=jnp.float32,
-                )
+                )  # (B, C)
             )
         out_ref[:, l * C : (l + 1) * C] = u[0] * u[1] * u[2]
 
 
-def _bwd_kernel(x_ref, lines_ref, g_ref, dlines_ref, *, cfg: CPGridConfig, wdtype):
-    B = x_ref.shape[0]
+def _bwd_kernel(xt_ref, lines_ref, g_ref, dlines_ref, *, cfg: CPGridConfig, wdtype):
+    B = xt_ref.shape[1]
     T = cfg.table_size
     C = cfg.n_components
 
@@ -91,18 +111,19 @@ def _bwd_kernel(x_ref, lines_ref, g_ref, dlines_ref, *, cfg: CPGridConfig, wdtyp
     def _init():
         dlines_ref[...] = jnp.zeros_like(dlines_ref)
 
-    x = jnp.clip(x_ref[:], 0.0, 1.0)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    xx = jnp.clip(xt_ref[:], 0.0, 1.0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0).astype(jnp.float32)
+    fwd_dims = (((0,), (0,)), ((), ()))   # (T,B)x(T,C) -> (B,C)
+    acc_dims = (((1,), (0,)), ((), ()))   # (T,B)x(B,C) -> (T,C)
     for l, R in enumerate(cfg.resolutions):
-        pos = x * R
+        pos = xx * R
         Ws, u = [], []
         for a in range(3):
-            W = _axis_weights(pos[:, a], iota, R, T, wdtype)
+            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype)
             Ws.append(W)
             u.append(
-                jnp.dot(
-                    W,
-                    lines_ref[l, a].astype(wdtype),
+                jax.lax.dot_general(
+                    W, lines_ref[l, a].astype(wdtype), fwd_dims,
                     preferred_element_type=jnp.float32,
                 )
             )
@@ -110,18 +131,19 @@ def _bwd_kernel(x_ref, lines_ref, g_ref, dlines_ref, *, cfg: CPGridConfig, wdtyp
         others = [u[1] * u[2], u[0] * u[2], u[0] * u[1]]
         for a in range(3):
             grad_u = (g * others[a]).astype(wdtype)  # (B, C)
-            dlines_ref[l, a] += jnp.dot(
-                Ws[a].T, grad_u, preferred_element_type=jnp.float32
-            )
+            dlines_ref[l, a] += jax.lax.dot_general(
+                Ws[a], grad_u, acc_dims, preferred_element_type=jnp.float32
+            )  # (T, C) — parameter layout, no transpose
 
 
-def _pad_points(x, block: int):
-    n = x.shape[0]
+def _pad_points_t(xt, block: int):
+    """(3, N) → padded (3, n_blocks*block)."""
+    n = xt.shape[1]
     n_blocks = -(-n // block)
     pad = n_blocks * block - n
     if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)])
-    return x, n, n_blocks
+        xt = jnp.concatenate([xt, jnp.zeros((3, pad), xt.dtype)], axis=1)
+    return xt, n, n_blocks
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -146,13 +168,13 @@ def cp_encode_pallas(
 
 def _forward(lines, x, cfg, block, interpret):
     orig = x.shape[:-1]
-    xf, n, n_blocks = _pad_points(x.reshape(-1, 3), block)
+    xt, n, n_blocks = _pad_points_t(x.reshape(-1, 3).T, block)
     wdtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, cfg=cfg, wdtype=wdtype),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full lines array
         ],
         out_specs=pl.BlockSpec(
@@ -160,7 +182,7 @@ def _forward(lines, x, cfg, block, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((n_blocks * block, cfg.out_dim), jnp.float32),
         interpret=interpret,
-    )(xf, lines)
+    )(xt, lines)
     return out[:n].reshape(*orig, cfg.out_dim)
 
 
@@ -170,18 +192,18 @@ def _forward_fwd(lines, x, cfg, block, interpret):
 
 def _forward_bwd(cfg, block, interpret, res, g):
     lines, x = res
-    xf, n, n_blocks = _pad_points(x.reshape(-1, 3), block)
+    xt, n, n_blocks = _pad_points_t(x.reshape(-1, 3).T, block)
     gf = g.reshape(-1, cfg.out_dim)
-    if gf.shape[0] != xf.shape[0]:
+    if gf.shape[0] != n_blocks * block:
         gf = jnp.concatenate(
-            [gf, jnp.zeros((xf.shape[0] - gf.shape[0], cfg.out_dim), gf.dtype)]
+            [gf, jnp.zeros((n_blocks * block - gf.shape[0], cfg.out_dim), gf.dtype)]
         )
     wdtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
     dlines = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg=cfg, wdtype=wdtype),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (block, cfg.out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -193,7 +215,7 @@ def _forward_bwd(cfg, block, interpret, res, g):
         ),
         out_shape=jax.ShapeDtypeStruct(lines.shape, jnp.float32),
         interpret=interpret,
-    )(xf, lines, gf)
+    )(xt, lines, gf)
     return dlines, jnp.zeros_like(x)
 
 
