@@ -17,7 +17,57 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def get_rays(H: int, W: int, focal, c2w, cx=None, cy=None, focal_y=None):
+def distort_normalized(x, y, k1, k2, p1, p2):
+    """Forward OpenCV lens model on normalized camera coords (x right,
+    y DOWN — OpenCV convention): undistorted → distorted.
+
+    Reference semantics: instant-ngp ``src/nerf_loader.cu`` applies this
+    model's inverse per pixel when transforms.json carries k1/k2/p1/p2
+    (which the pose converter emits, parser_instant_ngp.py:183-186).
+    """
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * k2)
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return xd, yd
+
+
+def undistort_normalized(xd, yd, k1, k2, p1, p2, iters: int = 8):
+    """Invert the OpenCV model by fixed-point iteration (the standard
+    cv2.undistortPoints scheme): x ← (xd − tangential(x)) / radial(x).
+
+    ``iters`` is a static Python int, so the loop unrolls at trace time —
+    branch-free, statically shaped, fuses into the surrounding ray setup.
+    8 iterations recovers typical webcam-grade distortion to < 1e-7.
+    """
+    x, y = xd, yd
+    for _ in range(iters):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * k2)
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x = (xd - dx) / radial
+        y = (yd - dy) / radial
+    return x, y
+
+
+def pixel_dirs(i, j, fl_x, fl_y, cx, cy, dist=None):
+    """Camera-space direction(s) for pixel coords (column ``i``, row ``j``),
+    OpenGL convention. When ``dist`` = (k1, k2, p1, p2) is given, the pixel
+    grid is treated as distorted observations and iteratively undistorted
+    (OpenCV coords are y-down, so the y flip happens AFTER undistortion).
+    """
+    x = (i - cx) / fl_x
+    y = (j - cy) / fl_y  # y-down (OpenCV) at this point
+    if dist is not None:
+        x, y = undistort_normalized(x, y, *dist)
+    return jnp.stack(
+        jnp.broadcast_arrays(x, -y, -jnp.ones_like(x + y)), axis=-1
+    )
+
+
+def get_rays(H: int, W: int, focal, c2w, cx=None, cy=None, focal_y=None,
+             dist=None):
     """Per-pixel ray origins and directions for a full image.
 
     Args:
@@ -26,6 +76,8 @@ def get_rays(H: int, W: int, focal, c2w, cx=None, cy=None, focal_y=None):
       c2w: (4, 4) or (3, 4) camera-to-world matrix.
       cx, cy: principal point; defaults to image center (W/2, H/2).
       focal_y: vertical focal length; defaults to ``focal``.
+      dist: optional (k1, k2, p1, p2) OpenCV distortion — pixel coords are
+        undistorted before being lifted to directions.
 
     Returns:
       rays_o, rays_d: each (H, W, 3). Directions are *not* normalized
@@ -38,13 +90,9 @@ def get_rays(H: int, W: int, focal, c2w, cx=None, cy=None, focal_y=None):
 
     i = jnp.arange(W, dtype=jnp.float32)[None, :]  # (1, W) columns
     j = jnp.arange(H, dtype=jnp.float32)[:, None]  # (H, 1) rows
-    dirs = jnp.stack(
-        [
-            jnp.broadcast_to((i - cx) / focal, (H, W)),
-            jnp.broadcast_to(-(j - cy) / fy, (H, W)),
-            -jnp.ones((H, W), dtype=jnp.float32),
-        ],
-        axis=-1,
+    dirs = pixel_dirs(
+        jnp.broadcast_to(i, (H, W)), jnp.broadcast_to(j, (H, W)),
+        focal, fy, cx, cy, dist=dist,
     )
     # Rotate camera-space dirs into world space: dirs @ R^T.
     rays_d = dirs @ c2w[:3, :3].T
@@ -52,15 +100,13 @@ def get_rays(H: int, W: int, focal, c2w, cx=None, cy=None, focal_y=None):
     return rays_o, rays_d
 
 
-def get_ray_batch(pixels_ij, focal, c2w, cx, cy, focal_y=None):
+def get_ray_batch(pixels_ij, focal, c2w, cx, cy, focal_y=None, dist=None):
     """Rays for a (N, 2) batch of (row j, col i) pixel coordinates — used by
     the random-ray training sampler. Returns (N, 3) origins and directions."""
     pixels_ij = jnp.asarray(pixels_ij, dtype=jnp.float32)
     fy = focal if focal_y is None else focal_y
     j, i = pixels_ij[:, 0], pixels_ij[:, 1]
-    dirs = jnp.stack(
-        [(i - cx) / focal, -(j - cy) / fy, -jnp.ones_like(i)], axis=-1
-    )
+    dirs = pixel_dirs(i, j, focal, fy, cx, cy, dist=dist)
     rays_d = dirs @ jnp.asarray(c2w)[:3, :3].T
     rays_o = jnp.broadcast_to(jnp.asarray(c2w)[:3, 3], rays_d.shape)
     return rays_o, rays_d

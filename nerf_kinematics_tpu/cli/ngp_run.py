@@ -102,18 +102,12 @@ def main(argv=None) -> None:
         print(f"Loaded snapshot {args.load_snapshot} at step {meta.get('step', 0)}")
 
     if args.n_steps and int(state.step) < args.n_steps:
-        step_fn = trainer._train_step
-        import time
-
-        t0 = time.perf_counter()
-        it = int(state.step)
-        while it < args.n_steps:
-            state, metrics = step_fn(state, trainer.images, trainer.poses)
-            it += 1
-            if it % 500 == 0 or it == args.n_steps:
-                dt = time.perf_counter() - t0
-                print(f"step {it}/{args.n_steps} loss {float(metrics['loss']):.5f} "
-                      f"({it / max(dt, 1e-9):.1f} steps/s)")
+        # Route through Trainer.fit so this flag-compat CLI gets the same
+        # lax.scan-chunked dispatch (and periodic occupancy refreshes) as the
+        # benchmarked path — a per-step Python loop here costs several x in
+        # host dispatch latency on a tunneled chip.
+        res = trainer.fit(max_iters=args.n_steps, state=state)
+        state = res.state
         v = trainer.validate(state)
         if v:
             print(f"val psnr: {v['val_psnr']:.2f} dB")
@@ -156,6 +150,7 @@ def _render_pose(trainer, state, pose, W, H):
         intr = Intrinsics(
             intr.fl_x * W / intr.width, intr.fl_y * H / intr.height,
             W / 2.0, H / 2.0, W, H,
+            k1=intr.k1, k2=intr.k2, p1=intr.p1, p2=intr.p2,
         )
     render = trainer.engine.make_render_fn(intr, ds.near, ds.far, ds.use_ndc)
     out = render(state.params, jnp.asarray(pose), state.aux)

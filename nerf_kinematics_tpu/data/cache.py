@@ -46,7 +46,9 @@ def save_cached(path: str, ds: NerfDataset) -> None:
         poses=ds.poses,
         intrinsics=np.array(
             [ds.intrinsics.fl_x, ds.intrinsics.fl_y, ds.intrinsics.cx,
-             ds.intrinsics.cy, ds.intrinsics.width, ds.intrinsics.height]
+             ds.intrinsics.cy, ds.intrinsics.width, ds.intrinsics.height,
+             ds.intrinsics.k1, ds.intrinsics.k2, ds.intrinsics.p1,
+             ds.intrinsics.p2]
         ),
         near=ds.near,
         far=ds.far,
@@ -72,6 +74,8 @@ def load_cached(path: str) -> Optional[NerfDataset]:
             intrinsics=Intrinsics(
                 float(intr[0]), float(intr[1]), float(intr[2]), float(intr[3]),
                 int(intr[4]), int(intr[5]),
+                # Older caches predate the distortion fields (length 6).
+                *(float(v) for v in intr[6:10]),
             ),
             near=float(z["near"]),
             far=float(z["far"]),

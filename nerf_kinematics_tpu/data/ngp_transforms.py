@@ -103,7 +103,9 @@ def load_transforms_json(path: str, require_images: bool = True):
         fl_x = 0.5 * w / np.tan(0.5 * float(meta["camera_angle_x"]))
         fl_y = float(meta.get("camera_angle_y") and 0.5 * h / np.tan(0.5 * meta["camera_angle_y"]) or fl_x)
     intr = Intrinsics(
-        fl_x, fl_y, float(meta.get("cx", w / 2)), float(meta.get("cy", h / 2)), w, h
+        fl_x, fl_y, float(meta.get("cx", w / 2)), float(meta.get("cy", h / 2)), w, h,
+        k1=float(meta.get("k1", 0.0)), k2=float(meta.get("k2", 0.0)),
+        p1=float(meta.get("p1", 0.0)), p2=float(meta.get("p2", 0.0)),
     )
     aabb = float(meta.get("aabb_scale", 1.0))
     imgs = (

@@ -59,9 +59,49 @@ def field_fn_blobs(pts: np.ndarray):
     return rgb.reshape(*pts.shape[:-1], 3), sigma.reshape(pts.shape[:-1])
 
 
-def _render_gt(pose, H, W, focal, near, far, n_samples=192, field=field_fn):
-    """Analytic volume render of a ground-truth field along pinhole rays."""
-    rays_o, rays_d = get_rays(H, W, focal, pose.astype(np.float32))
+_HALO_SATS = np.array(
+    [  # x, y, z, radius — satellites far from the origin (the fox regime:
+       # central subject + background content spread over a large AABB).
+        [6.0, 0.0, 1.0, 1.2],
+        [-5.0, 4.0, -1.0, 1.0],
+        [0.0, -6.5, 2.0, 1.4],
+        [-3.5, -4.5, -2.0, 0.9],
+    ]
+)
+_HALO_COLORS = np.array(
+    [[0.9, 0.3, 0.2], [0.2, 0.8, 0.4], [0.25, 0.35, 0.9], [0.9, 0.8, 0.2]]
+)
+
+
+def field_fn_halo(pts: np.ndarray):
+    """Large-scene ground truth: the detailed unit sphere of ``field_fn`` at
+    the origin plus big diffuse satellites out to radius ~7 — content spans
+    an aabb_scale-16-class volume while the subject stays unit-scale,
+    exactly the regime where a single linear grid collapses and
+    cascades/contraction are required."""
+    flat = pts.reshape(-1, 3)
+    rgb_c, sigma_c = field_fn(flat)
+    d = np.linalg.norm(flat[:, None, :] - _HALO_SATS[None, :, :3], axis=-1)
+    act = 1.0 / (1.0 + np.exp((d - _HALO_SATS[None, :, 3]) * 10.0))  # (N, S)
+    sigma_s = 30.0 * act.max(axis=1)
+    w = act / (act.sum(axis=1, keepdims=True) + 1e-9)
+    rgb_s = w @ _HALO_COLORS
+    central = sigma_c >= sigma_s
+    sigma = np.where(central, sigma_c, sigma_s)
+    rgb = np.where(central[:, None], rgb_c, rgb_s)
+    return (
+        np.clip(rgb, 0.02, 0.98).reshape(*pts.shape[:-1], 3),
+        sigma.reshape(pts.shape[:-1]),
+    )
+
+
+def _render_gt(pose, H, W, focal, near, far, n_samples=192, field=field_fn,
+               dist=None):
+    """Analytic volume render of a ground-truth field along pinhole rays.
+    ``dist`` = (k1, k2, p1, p2) simulates capture through a distorting lens:
+    pixel (i, j) observes along the ray of its *undistorted* coordinates,
+    exactly the geometry a distortion-aware loader must reproduce."""
+    rays_o, rays_d = get_rays(H, W, focal, pose.astype(np.float32), dist=dist)
     rays_o, rays_d = np.asarray(rays_o), np.asarray(rays_d)
     t = np.linspace(near, far, n_samples, dtype=np.float32)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * t[:, None]
@@ -87,13 +127,23 @@ def make_synthetic_scene(
     far: float = 3.5,
     seed: int = 0,
     variant: str = "sphere",
+    dist=None,
 ) -> NerfDataset:
     """Build the synthetic dataset; ``cfg`` may override via attributes.
-    ``variant``: "sphere" (easy) or "blobs" (multi-object, high-frequency)."""
+    ``variant``: "sphere" (easy), "blobs" (multi-object, high-frequency) or
+    "halo" (unit-scale subject + far satellites: the large-AABB fox regime —
+    radius/near/far/aabb default to camera orbits at r=11 over a bound-16
+    scene).
+    ``dist``: optional (k1, k2, p1, p2) — images are captured through a
+    distorting lens and the intrinsics carry the coefficients."""
+    aabb_scale = 1.0
+    if variant == "halo":
+        radius, near, far, aabb_scale = 11.0, 2.5, 20.0, 32.0
     if cfg is not None:
         near = float(getattr(cfg, "near", near))
         far = float(getattr(cfg, "far", far))
-    field = field_fn if variant == "sphere" else field_fn_blobs
+    field = {"sphere": field_fn, "blobs": field_fn_blobs,
+             "halo": field_fn_halo}[variant]
 
     H = W = resolution
     focal = 0.9 * resolution
@@ -113,17 +163,21 @@ def make_synthetic_scene(
     poses = np.concatenate(poses)[:n_views].astype(np.float32)
 
     images = np.stack(
-        [_render_gt(p, H, W, focal, near, far, field=field) for p in poses]
+        [_render_gt(p, H, W, focal, near, far, field=field, dist=dist)
+         for p in poses]
     )
 
+    k1, k2, p1, p2 = dist if dist is not None else (0.0, 0.0, 0.0, 0.0)
     idx = np.arange(n_views)
     return NerfDataset(
         images=images,
         poses=poses,
-        intrinsics=Intrinsics(focal, focal, W / 2.0, H / 2.0, W, H),
+        intrinsics=Intrinsics(focal, focal, W / 2.0, H / 2.0, W, H,
+                              k1=k1, k2=k2, p1=p1, p2=p2),
         near=near,
         far=far,
         train_idx=idx[:-2],
         val_idx=idx[-2:],
         use_ndc=False,
+        aabb_scale=aabb_scale,
     )

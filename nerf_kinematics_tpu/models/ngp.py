@@ -53,6 +53,17 @@ class NGPConfig:
     use_occupancy: bool = False
     occ_resolution: int = 96
     occ_update_every: int = 256
+    # Incremental maintenance between full sweeps (NGP's steady-state decay
+    # + random-subset requery); full sweep every ``occ_full_every`` steps.
+    occ_incremental_cells: int = 65536
+    occ_full_every: int = 2048
+    # Scene contraction for aabb_scale > 2 (ops/contraction.py — the TPU
+    # equivalent of instant-ngp's occupancy cascades): "auto" enables it
+    # when the scene bound exceeds 2; "on"/"off" force it. ``contract_inner``
+    # is the half-width (world units) of the central linear region (NGP's
+    # finest-cascade scale).
+    contraction: str = "auto"
+    contract_inner: float = 1.0
     # MXU compute dtype for the MLPs ("float32" | "bfloat16"); params f32.
     compute_dtype: str = "float32"
 

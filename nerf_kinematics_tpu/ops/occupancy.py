@@ -4,15 +4,30 @@ TPU-native equivalent of instant-ngp's occupancy-bitfield ray marching
 (src/testbed_nerf.cu): the reference skips empty space with data-dependent
 early exit — dynamic shapes XLA can't compile. Here the occupancy grid
 instead *importance-weights* a fixed sample budget (SURVEY.md §7 "hard
-parts"): a periodic full-grid density query maintains an EMA occupancy
-volume; at render time each ray's stratified bins are reweighted by the
-trilinear-interpolated occupancy and resampled through the inverse CDF, so
-samples concentrate in occupied space while every shape stays static.
+parts"): a maintained EMA occupancy volume reweights each ray's stratified
+bins (trilinear or nearest lookup) and resamples them through the inverse
+CDF, so samples concentrate in occupied space while every shape stays
+static.
+
+Grid maintenance mirrors NGP's two modes (testbed_nerf.cu's
+``update_density_grid``):
+  * :func:`update_grid` — full sweep: query density at one jittered point
+    per cell, EMA via max(decay·old, new). Periodic (expensive, exact).
+  * :func:`update_grid_incremental` — NGP's steady-state rule: decay the
+    WHOLE grid, re-query a random subset of cells, scatter-max the fresh
+    densities in. Cheap enough to run every few dozen steps, so stale
+    occupancy (the round-1 gap: full sweeps only every N steps) decays
+    away between sweeps.
+
+Large scenes (``aabb_scale`` > 2): all functions accept ``to_unit`` /
+``from_unit`` coordinate maps so the grid can live in *contracted* space
+(ops/contraction.py) — the TPU answer to the reference's occupancy
+cascades. Defaults reproduce the linear [-bound, bound]³ grid.
 """
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +37,7 @@ from .sampling import sample_pdf
 
 class OccupancyGrid(NamedTuple):
     density: jnp.ndarray  # (R, R, R) EMA of queried densities
-    bound: jnp.ndarray  # scalar: grid spans [-bound, bound]^3
+    bound: jnp.ndarray  # scalar: grid spans [-bound, bound]^3 (linear mode)
 
     @property
     def resolution(self) -> int:
@@ -37,24 +52,38 @@ def init_grid(resolution: int = 128, bound: float = 1.0) -> OccupancyGrid:
     )
 
 
+def _linear_to_unit(grid: OccupancyGrid):
+    return lambda pts: pts / (2.0 * grid.bound) + 0.5
+
+
+def _linear_from_unit(grid: OccupancyGrid):
+    return lambda u01: (u01 * 2.0 - 1.0) * grid.bound
+
+
+def _cell_points(grid: OccupancyGrid, key, from_unit):
+    """World-space jittered cell-center points for every cell, (R³, 3)."""
+    R = grid.resolution
+    lin = (jnp.arange(R) + 0.5) / R  # cell centers in [0, 1]
+    zs, ys, xs = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    u01 = jnp.stack([xs, ys, zs], -1).reshape(-1, 3)
+    jitter = (jax.random.uniform(key, u01.shape) - 0.5) / R
+    return from_unit(jnp.clip(u01 + jitter, 0.0, 1.0))
+
+
 def update_grid(
     grid: OccupancyGrid,
     density_fn: Callable[[jnp.ndarray], jnp.ndarray],
     key: jax.Array,
     decay: float = 0.95,
     chunk: int = 65536,
+    from_unit: Optional[Callable] = None,
 ) -> OccupancyGrid:
-    """EMA update: query density at one jittered point per cell and take
-    max(decay * old, new) — the NGP update rule, evaluated for ALL cells
-    (a periodic full sweep instead of incremental scatter updates, which
-    XLA would serialize)."""
+    """Full-sweep EMA update: query density at one jittered point per cell
+    and take max(decay * old, new) — the NGP update rule, evaluated for ALL
+    cells (no scatter; one dense write)."""
+    from_unit = from_unit or _linear_from_unit(grid)
     R = grid.resolution
-    b = grid.bound
-    lin = (jnp.arange(R) + 0.5) / R  # cell centers in [0, 1]
-    zs, ys, xs = jnp.meshgrid(lin, lin, lin, indexing="ij")
-    pts = jnp.stack([xs, ys, zs], -1).reshape(-1, 3)
-    jitter = (jax.random.uniform(key, pts.shape) - 0.5) / R
-    pts = (jnp.clip(pts + jitter, 0.0, 1.0) * 2.0 - 1.0) * b
+    pts = _cell_points(grid, key, from_unit)
 
     n = pts.shape[0]
     n_chunks = -(-n // chunk)
@@ -65,10 +94,41 @@ def update_grid(
     return grid._replace(density=new)
 
 
-def occupancy_at(grid: OccupancyGrid, pts: jnp.ndarray) -> jnp.ndarray:
-    """Trilinear occupancy lookup at world points (..., 3) → (...,)."""
+def update_grid_incremental(
+    grid: OccupancyGrid,
+    density_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    key: jax.Array,
+    n_cells: int = 65536,
+    decay: float = 0.95,
+    from_unit: Optional[Callable] = None,
+) -> OccupancyGrid:
+    """NGP steady-state maintenance: decay EVERY cell, re-query ``n_cells``
+    uniformly random cells (static count — one gatherless density batch +
+    one scatter-max outside the train step), so occupancy both fades where
+    density shrank and refreshes where it grew, between full sweeps."""
+    from_unit = from_unit or _linear_from_unit(grid)
     R = grid.resolution
-    u = (pts / (2.0 * grid.bound) + 0.5) * R - 0.5  # cell-center coords
+    k_idx, k_jit = jax.random.split(key)
+    idx = jax.random.randint(k_idx, (n_cells,), 0, R * R * R)
+    iz, rem = idx // (R * R), idx % (R * R)
+    iy, ix = rem // R, rem % R
+    centers = (jnp.stack([ix, iy, iz], -1).astype(jnp.float32) + 0.5) / R
+    jitter = (jax.random.uniform(k_jit, centers.shape) - 0.5) / R
+    pts = from_unit(jnp.clip(centers + jitter, 0.0, 1.0))
+    sigmas = density_fn(pts)
+
+    decayed = (grid.density * decay).reshape(-1)
+    new = decayed.at[idx].max(sigmas)
+    return grid._replace(density=new.reshape(R, R, R))
+
+
+def occupancy_at(
+    grid: OccupancyGrid, pts: jnp.ndarray, to_unit: Optional[Callable] = None
+) -> jnp.ndarray:
+    """Trilinear occupancy lookup at world points (..., 3) → (...,)."""
+    to_unit = to_unit or _linear_to_unit(grid)
+    R = grid.resolution
+    u = to_unit(pts) * R - 0.5  # cell-center coords
     u = jnp.clip(u, 0.0, R - 1.0)
     i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, R - 2)
     w = u - i0
@@ -84,12 +144,15 @@ def occupancy_at(grid: OccupancyGrid, pts: jnp.ndarray) -> jnp.ndarray:
     return sum(corner(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1))
 
 
-def occupancy_at_nearest(grid: OccupancyGrid, pts: jnp.ndarray) -> jnp.ndarray:
+def occupancy_at_nearest(
+    grid: OccupancyGrid, pts: jnp.ndarray, to_unit: Optional[Callable] = None
+) -> jnp.ndarray:
     """Nearest-cell occupancy lookup — ONE flat gather per point (the
     trilinear version costs 8; for proposal weighting nearest is plenty and
     8x cheaper on TPU, where gathers dominate)."""
+    to_unit = to_unit or _linear_to_unit(grid)
     R = grid.resolution
-    u = (pts / (2.0 * grid.bound) + 0.5) * R
+    u = to_unit(pts) * R
     idx = jnp.clip(u.astype(jnp.int32), 0, R - 1)
     flat = idx[..., 0] * (R * R) + idx[..., 1] * R + idx[..., 2]
     return jnp.take(grid.density.reshape(-1), flat, axis=0)
@@ -101,6 +164,7 @@ def occupancy_proposal(
     rays_d: jnp.ndarray,
     z_bins: jnp.ndarray,
     floor: float = 1e-2,
+    to_unit: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Per-bin proposal weights ∝ occupancy at bin centers (nearest-cell).
 
@@ -110,7 +174,7 @@ def occupancy_proposal(
     """
     mids = 0.5 * (z_bins[..., 1:] + z_bins[..., :-1])
     pts = rays_o[..., None, :] + rays_d[..., None, :] * mids[..., :, None]
-    occ = occupancy_at_nearest(grid, pts)
+    occ = occupancy_at_nearest(grid, pts, to_unit=to_unit)
     occ = occ / (jnp.max(occ, axis=-1, keepdims=True) + 1e-9)
     return occ + floor
 
@@ -125,6 +189,7 @@ def occupancy_sample(
     num_samples: int,
     num_bins: int = 64,
     deterministic: bool = False,
+    to_unit: Optional[Callable] = None,
 ):
     """Occupancy-weighted depth sampling: uniform bins → occupancy PDF →
     inverse-CDF resample. Static shapes throughout."""
@@ -133,7 +198,7 @@ def occupancy_sample(
         jnp.linspace(near, far, num_bins + 1, dtype=jnp.float32),
         (n_rays, num_bins + 1),
     )
-    weights = occupancy_proposal(grid, rays_o, rays_d, bins)
+    weights = occupancy_proposal(grid, rays_o, rays_d, bins, to_unit=to_unit)
     # stratified_u ⇒ samples come out sorted; no per-ray sort needed.
     return sample_pdf(
         key, bins, weights, num_samples,

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..cameras.rays import ndc_rays
+from ..cameras.rays import ndc_rays, pixel_dirs
 from ..models.flexible_nerf import FlexibleNeRF
 from ..parallel.mesh import shard_batch
 from ..rendering.renderer import render_rays
@@ -109,6 +109,7 @@ class ClassicNerf:
         fl_x, fl_y = intrinsics.fl_x, intrinsics.fl_y
         cx, cy = intrinsics.cx, intrinsics.cy
         H, W = intrinsics.height, intrinsics.width
+        dist = getattr(intrinsics, "distortion", None)
         mesh = self.mesh
         use_viewdirs = cfg.nerf.use_viewdirs
         has_fine = self.model_fine is not None and settings.num_fine > 0
@@ -147,13 +148,9 @@ class ClassicNerf:
             target = images[img, row, col]
             c2w = poses[img]
 
-            dirs_cam = jnp.stack(
-                [
-                    (col.astype(jnp.float32) - cx) / fl_x,
-                    -(row.astype(jnp.float32) - cy) / fl_y,
-                    -jnp.ones((n_rays,), jnp.float32),
-                ],
-                axis=-1,
+            dirs_cam = pixel_dirs(
+                col.astype(jnp.float32), row.astype(jnp.float32),
+                fl_x, fl_y, cx, cy, dist=dist,
             )
             rays_d = jnp.einsum("nij,nj->ni", c2w[:, :3, :3], dirs_cam)
             rays_o = c2w[:, :3, 3]
@@ -227,6 +224,7 @@ class ClassicNerf:
             rays_o, rays_d = get_rays(
                 H, W, intrinsics.fl_x, c2w, cx=intrinsics.cx,
                 cy=intrinsics.cy, focal_y=intrinsics.fl_y,
+                dist=getattr(intrinsics, "distortion", None),
             )
             viewdirs = None
             if cfg.nerf.use_viewdirs:

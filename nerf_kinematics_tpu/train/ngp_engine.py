@@ -50,23 +50,63 @@ class NGPEngine(ClassicNerf):
         self.model = NGPModel(self.ngp_config)
         self.model_fine = None  # hierarchical pass shares params
         self.optimizer = self._make_optimizer(cfg)
-        # Per-instance jitted occupancy updater, built eagerly so it is
+        # Scene contraction (ops/contraction.py) — the cascade equivalent for
+        # aabb_scale > 2. Resolved once, statically, per engine instance.
+        mode = self.ngp_config.contraction
+        self.contracted = mode == "on" or (mode == "auto" and self.scene_bound > 2.0)
+        self._inner = float(self.ngp_config.contract_inner)
+        # Per-instance jitted occupancy updaters, built eagerly so they are
         # explicitly keyed on this engine's model + scene_bound (jit itself
         # re-traces on aux/params shape changes).
         self._occ_update_jit = jax.jit(self._occ_update) if (
             self.ngp_config.use_occupancy
         ) else None
+        self._occ_incr_jit = jax.jit(self._occ_update_incremental) if (
+            self.ngp_config.use_occupancy
+        ) else None
 
-    def _occ_update(self, aux, params, key):
-        from ..ops.occupancy import update_grid
+    # -- occupancy-grid coordinate maps (contracted or linear) --------------
+    def _occ_to_unit(self):
+        """World → [0,1]³ grid-coordinate map for the occupancy grid, or
+        None for the grid's built-in linear [-bound, bound]³ map."""
+        if not self.contracted:
+            return None
+        from ..ops.contraction import contract_to_unit
 
+        inner = self._inner
+        return lambda pts: contract_to_unit(pts, inner)
+
+    def _occ_from_unit(self):
+        if not self.contracted:
+            return None
+        from ..ops.contraction import unit_to_world
+
+        inner = self._inner
+        return lambda u01: unit_to_world(u01, inner)
+
+    def _density_fn(self, params):
         def density_fn(pts):
             sigma, _ = self.model.apply(
                 params["coarse"], self._to_unit(pts), method=NGPModel.density
             )
             return sigma
 
-        return update_grid(aux, density_fn, key, chunk=65536)
+        return density_fn
+
+    def _occ_update(self, aux, params, key):
+        from ..ops.occupancy import update_grid
+
+        return update_grid(aux, self._density_fn(params), key, chunk=65536,
+                           from_unit=self._occ_from_unit())
+
+    def _occ_update_incremental(self, aux, params, key):
+        from ..ops.occupancy import update_grid_incremental
+
+        return update_grid_incremental(
+            aux, self._density_fn(params), key,
+            n_cells=self.ngp_config.occ_incremental_cells,
+            from_unit=self._occ_from_unit(),
+        )
 
     def _make_optimizer(self, cfg: Config):
         from .loop import lr_schedule
@@ -91,6 +131,10 @@ class NGPEngine(ClassicNerf):
 
     # -- model application with world→unit-cube mapping --------------------
     def _to_unit(self, pts):
+        if self.contracted:
+            from ..ops.contraction import contract_to_unit
+
+            return contract_to_unit(pts, self._inner)
         return pts / (2.0 * self.scene_bound) + 0.5
 
     def apply_coarse(self, params, pts, vd):
@@ -119,21 +163,26 @@ class NGPEngine(ClassicNerf):
             return None
         from ..ops.occupancy import occupancy_sample
 
+        to_unit = self._occ_to_unit()
+
         def proposal(key, rays_o, rays_d):
             return occupancy_sample(
                 key, aux, rays_o, rays_d, near, far, settings.num_coarse,
-                deterministic=not settings.perturb,
+                deterministic=not settings.perturb, to_unit=to_unit,
             )
 
         return proposal
 
-    def update_occupancy(self, state: TrainState) -> TrainState:
-        """Periodic full-sweep EMA refresh of the occupancy grid (call every
-        ``occ_update_every`` steps from the training loop)."""
+    def update_occupancy(self, state: TrainState, full: bool = True) -> TrainState:
+        """Periodic EMA refresh of the occupancy grid (call every
+        ``occ_update_every`` steps from the training loop). ``full=True``
+        sweeps every cell; ``full=False`` runs NGP's cheap steady-state
+        maintenance (grid-wide decay + random-subset requery)."""
         if state.aux is None or self._occ_update_jit is None:
             return state
         key, sub = jax.random.split(state.key)
-        aux = self._occ_update_jit(state.aux, state.params, sub)
+        fn = self._occ_update_jit if full else self._occ_incr_jit
+        aux = fn(state.aux, state.params, sub)
         return state._replace(aux=aux, key=key)
 
     # make_train_step / make_render_fn / make_train_many inherit from

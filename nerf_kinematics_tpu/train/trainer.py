@@ -125,7 +125,8 @@ class Trainer:
             "mean_psnr": float(np.mean(scores)) if scores else float("nan"),
         }
 
-    def fit(self, max_iters: Optional[int] = None) -> TrainResult:
+    def fit(self, max_iters: Optional[int] = None,
+            state: Optional[TrainState] = None) -> TrainResult:
         """Run training to ``train_iters`` (or ``max_iters``).
 
         Steps are dispatched in lax.scan chunks sized to the smallest event
@@ -133,10 +134,14 @@ class Trainer:
         drives a whole logging interval — per-step dispatch latency (large
         when the chip sits behind a network tunnel) is amortized away and
         real-run throughput matches the benchmarked steady-state step time.
+
+        ``state`` overrides init_or_resume — callers that already hold a
+        TrainState (e.g. the snapshot-loading CLI) continue from it.
         """
         cfg, exp = self.cfg, self.cfg.experiment
         total = max_iters if max_iters is not None else exp.train_iters
-        state = self.init_or_resume()
+        if state is None:
+            state = self.init_or_resume()
         start_step = int(state.step)
 
         n_rays = cfg.nerf.num_random_rays
@@ -174,7 +179,15 @@ class Trainer:
                     state, metrics = self._train_step(state, self.images, self.poses)
             it += k
             if occ_every and (it % occ_every) < k and it >= occ_every:
-                state = self.engine.update_occupancy(state)
+                # Full sweep on the first refresh and every occ_full_every
+                # steps; cheap incremental decay+requery maintenance between
+                # (the NGP steady-state rule — keeps occupancy fresh without
+                # paying the R³ sweep each time).
+                full_every = getattr(self.engine.ngp_config, "occ_full_every", 0)
+                full = it < occ_every + k or not full_every or (
+                    (it % full_every) < k
+                )
+                state = self.engine.update_occupancy(state, full=full)
 
             if exp.print_every > 0 and ((it % exp.print_every) < k or it == total):
                 metrics = {key: float(v) for key, v in metrics.items()}

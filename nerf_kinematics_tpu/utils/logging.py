@@ -28,7 +28,9 @@ def _configure():
     root = logging.getLogger("nerf_kinematics_tpu")
     root.addHandler(handler)
     root.setLevel(logging.INFO)
-    root.propagate = False
+    # Keep propagation ON: the stdlib root logger has no handlers by default
+    # (so nothing double-prints), while test harnesses (pytest caplog) and
+    # host applications that attach root handlers still see our records.
     _configured = True
 
 
