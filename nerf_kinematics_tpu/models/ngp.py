@@ -60,12 +60,20 @@ class NGPConfig:
     # Scene contraction for aabb_scale > 2 (ops/contraction.py — the TPU
     # equivalent of instant-ngp's occupancy cascades): "auto" enables it
     # when the scene bound exceeds 2; "on"/"off" force it. ``contract_inner``
-    # is the half-width (world units) of the central linear region (NGP's
-    # finest-cascade scale).
+    # is the half-width (world units) of the central linear region; 0 (the
+    # default) resolves to max(1, bound/4) — big enough that mid-field
+    # content keeps usable grid resolution, small enough that the subject
+    # gets the lion's share (the finest-cascade role in NGP's scheme).
     contraction: str = "auto"
-    contract_inner: float = 1.0
+    contract_inner: float = 0.0
     # MXU compute dtype for the MLPs ("float32" | "bfloat16"); params f32.
     compute_dtype: str = "float32"
+    # Fully-fused point pipeline (ops/ngp_fused_pallas.py): run
+    # encode→density-MLP→color-MLP as ONE Pallas kernel (fwd + bwd), the
+    # tiny-cuda-nn fully_fused_mlp equivalent. "auto" = on whenever the
+    # cp_pallas encoder is active; "on"/"off" force it. Training-path only
+    # (density sweeps and mesh export use the unfused module).
+    fused: str = "auto"
 
     @classmethod
     def from_cfg(cls, d: dict) -> "NGPConfig":

@@ -54,7 +54,9 @@ class NGPEngine(ClassicNerf):
         # aabb_scale > 2. Resolved once, statically, per engine instance.
         mode = self.ngp_config.contraction
         self.contracted = mode == "on" or (mode == "auto" and self.scene_bound > 2.0)
-        self._inner = float(self.ngp_config.contract_inner)
+        self._inner = float(self.ngp_config.contract_inner) or max(
+            1.0, self.scene_bound / 4.0
+        )
         # Per-instance jitted occupancy updaters, built eagerly so they are
         # explicitly keyed on this engine's model + scene_bound (jit itself
         # re-traces on aux/params shape changes).
@@ -137,11 +139,55 @@ class NGPEngine(ClassicNerf):
             return contract_to_unit(pts, self._inner)
         return pts / (2.0 * self.scene_bound) + 0.5
 
+    @property
+    def fused(self) -> bool:
+        mode = self.ngp_config.fused
+        return mode == "on" or (
+            mode == "auto"
+            and self.ngp_config.resolved_encoder() == "cp_pallas"
+        )
+
+    def _fused_params(self, flax_params):
+        """Flax param dict → the raw-array structure of ngp_fused_apply.
+        Pure pytree restructuring: autodiff transposes it exactly, so the
+        fused custom-VJP gradients land back on the flax leaves."""
+        p = flax_params["params"]
+        cfg = self.ngp_config
+        d_names = [f"density_{i}" for i in range(cfg.density_layers - 1)]
+        d_names.append("density_out")
+        c_names = [f"color_{i}" for i in range(cfg.color_layers - 1)]
+        c_names.append("color_out")
+        return {
+            "lines": p["cp_lines"],
+            "dW": [p[n]["kernel"] for n in d_names],
+            "db": [p[n]["bias"][None, :] for n in d_names],
+            "cW": [p[n]["kernel"] for n in c_names],
+            "cb": [p[n]["bias"][None, :] for n in c_names],
+        }
+
+    def _apply(self, params, pts, vd):
+        if not self.fused:
+            return self.model.apply(params, self._to_unit(pts), vd)
+        from ..ops.ngp_fused_pallas import ngp_fused_apply
+        from ..ops.sh import sh_encode
+
+        x = self._to_unit(pts)
+        if vd is None:
+            vd = jnp.zeros_like(x).at[..., 2].set(1.0)
+        sh = jax.lax.stop_gradient(
+            sh_encode(vd, self.ngp_config.sh_degree)
+        )
+        interpret = jax.default_backend() != "tpu"
+        return ngp_fused_apply(
+            self._fused_params(params), x, sh, self.ngp_config.cp,
+            interpret=interpret,
+        )
+
     def apply_coarse(self, params, pts, vd):
-        return self.model.apply(params, self._to_unit(pts), vd)
+        return self._apply(params, pts, vd)
 
     def apply_fine(self, params, pts, vd):
-        return self.model.apply(params, self._to_unit(pts), vd)
+        return self._apply(params, pts, vd)
 
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         seed = self.cfg.experiment.randomseed if seed is None else seed

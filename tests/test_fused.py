@@ -1,0 +1,125 @@
+"""Fused point-pipeline kernel (ops/ngp_fused_pallas.py) parity tests:
+values and every parameter gradient must match the unfused flax module
+(cp_pallas encoder + Dense MLPs) — interpret mode on CPU."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_kinematics_tpu.models.ngp import NGPConfig, NGPModel
+from nerf_kinematics_tpu.ops.cp_grid import CPGridConfig
+from nerf_kinematics_tpu.train.config import Config
+from nerf_kinematics_tpu.train.ngp_engine import NGPEngine
+
+
+def _cfg(use_bf16=False, fused="on"):
+    return NGPConfig(
+        encoder="cp_pallas",
+        cp=CPGridConfig(n_levels=3, n_components=16, base_resolution=8,
+                        max_resolution=64, table_size=48, use_bf16=use_bf16),
+        density_width=32, density_layers=3, density_out=16,
+        color_width=32, color_layers=3, sh_degree=4,
+        fused=fused,
+    )
+
+
+def _engines():
+    cfg_f = Config(engine="ngp", ngp=_cfg(fused="on"))
+    cfg_u = Config(engine="ngp", ngp=_cfg(fused="off"))
+    e_f = NGPEngine(cfg_f, scene_bound=1.0)
+    e_u = NGPEngine(cfg_u, scene_bound=1.0)
+    assert e_f.fused and not e_u.fused
+    state = e_f.init_state(0)
+    return e_f, e_u, state.params["coarse"]
+
+
+def test_fused_matches_unfused_forward():
+    e_f, e_u, params = _engines()
+    key = jax.random.PRNGKey(1)
+    pts = jax.random.uniform(key, (97, 3), minval=-1.0, maxval=1.0)
+    vd = jax.random.normal(key, (97, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    rgb_f, sig_f = e_f.apply_coarse(params, pts, vd)
+    rgb_u, sig_u = e_u.apply_coarse(params, pts, vd)
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_u),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sig_f), np.asarray(sig_u),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_matches_unfused_gradients():
+    e_f, e_u, params = _engines()
+    key = jax.random.PRNGKey(2)
+    pts = jax.random.uniform(key, (64, 3), minval=-1.0, maxval=1.0)
+    vd = jax.random.normal(key, (64, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    tgt = jax.random.uniform(key, (64, 3))
+
+    def loss(engine):
+        def f(p):
+            rgb, sigma = engine.apply_coarse(p, pts, vd)
+            return (jnp.mean((jax.nn.sigmoid(rgb) - tgt) ** 2)
+                    + 1e-3 * jnp.mean(jnp.log1p(sigma)))
+        return f
+
+    g_f = jax.grad(loss(e_f))(params)
+    g_u = jax.grad(loss(e_u))(params)
+    flat_f = jax.tree_util.tree_leaves_with_path(g_f)
+    flat_u = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_u)}
+    assert flat_f, "no gradient leaves"
+    for k, v in flat_f:
+        ks = jax.tree_util.keystr(k)
+        ref = flat_u[ks]
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(ref), rtol=5e-4, atol=5e-6,
+            err_msg=f"gradient mismatch at {ks}",
+        )
+        # Parameters must actually receive gradient (not silently zero).
+        if "bias" not in ks:
+            assert np.abs(np.asarray(v)).max() > 0, f"zero grad at {ks}"
+
+
+def test_fused_batch_shapes_and_padding():
+    e_f, e_u, params = _engines()
+    key = jax.random.PRNGKey(3)
+    # Ragged count (not a multiple of the 512 block) and extra batch dims.
+    pts = jax.random.uniform(key, (7, 13, 3))
+    vd = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), pts.shape)
+    rgb, sigma = e_f.apply_coarse(params, pts, vd)
+    assert rgb.shape == (7, 13, 3) and sigma.shape == (7, 13)
+    rgb_u, sig_u = e_u.apply_coarse(params, pts, vd)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_u),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_training_step_converges():
+    from nerf_kinematics_tpu.data import make_synthetic_scene
+    from nerf_kinematics_tpu.rendering.renderer import RenderSettings
+    from nerf_kinematics_tpu.train.config import NeRFConfig, OptimizerConfig
+
+    ds = make_synthetic_scene(n_views=6, resolution=24)
+    cfg = Config(
+        engine="ngp", ngp=_cfg(fused="on"),
+        nerf=NeRFConfig(
+            train=RenderSettings(num_coarse=24, num_fine=0, perturb=True),
+            validation=RenderSettings(num_coarse=24, num_fine=0,
+                                      perturb=False),
+            num_random_rays=256,
+        ),
+        optimizer=OptimizerConfig(lr=5e-3),
+    )
+    engine = NGPEngine(cfg, scene_bound=1.0)
+    state = engine.init_state(0)
+    step = engine.make_train_step(ds.intrinsics, ds.near, ds.far, False,
+                                  donate=False)
+    images, poses = jnp.asarray(ds.images), jnp.asarray(ds.poses)
+    losses = []
+    for _ in range(60):
+        state, m = step(state, images, poses)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.6 * losses[0], (losses[0], losses[-1])
