@@ -69,6 +69,21 @@ class CPGridConfig:
     def out_dim(self) -> int:
         return self.n_levels * self.n_components
 
+    def level_rows(self, R: int) -> int:
+        """Line-table rows actually reachable at level resolution ``R``.
+
+        The interpolation tent over positions p ∈ [0, R) is nonzero only at
+        rows t ≤ R, so levels finer than the fold width touch just R+1 rows;
+        the rest of the (table_size, C) table is dead weight in both the
+        weight build and the contraction. Rounded up to the 16-sublane tile
+        (bf16 operand tiling) so kernels can slice tables statically.
+        Contributions from the extra zero rows are exactly 0 — slicing is
+        bitwise-identical to the full-table contraction.
+        """
+        if R >= self.table_size:
+            return self.table_size
+        return min(self.table_size, -(-(R + 1) // 16) * 16)
+
     @property
     def n_params(self) -> int:
         return self.n_levels * 3 * self.table_size * self.n_components

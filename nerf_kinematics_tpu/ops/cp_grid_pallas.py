@@ -84,17 +84,23 @@ def _fwd_kernel(xt_ref, lines_ref, out_ref, *, cfg: CPGridConfig, wdtype):
     T = cfg.table_size
     C = cfg.n_components
     xx = jnp.clip(xt_ref[:], 0.0, 1.0)  # (3, B)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0).astype(jnp.float32)
     dims = (((0,), (0,)), ((), ()))  # contract T (sublanes on both sides)
     for l, R in enumerate(cfg.resolutions):
+        # Coarse levels (R < T) reach only level_rows(R) table rows: build
+        # the tent and contract over just those (bitwise-identical, see
+        # CPGridConfig.level_rows).
+        Tl = cfg.level_rows(R)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Tl, B), 0).astype(
+            jnp.float32
+        )
         pos = xx * R
         u = []
         for a in range(3):
-            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype)  # (T, B)
+            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype)  # (Tl, B)
             u.append(
                 jax.lax.dot_general(
                     W,
-                    lines_ref[l, a].astype(wdtype),  # (T, C)
+                    lines_ref[l, a, :Tl, :].astype(wdtype),  # (Tl, C)
                     dims,
                     preferred_element_type=jnp.float32,
                 )  # (B, C)
@@ -112,10 +118,13 @@ def _bwd_kernel(xt_ref, lines_ref, g_ref, dlines_ref, *, cfg: CPGridConfig, wdty
         dlines_ref[...] = jnp.zeros_like(dlines_ref)
 
     xx = jnp.clip(xt_ref[:], 0.0, 1.0)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0).astype(jnp.float32)
-    fwd_dims = (((0,), (0,)), ((), ()))   # (T,B)x(T,C) -> (B,C)
-    acc_dims = (((1,), (0,)), ((), ()))   # (T,B)x(B,C) -> (T,C)
+    fwd_dims = (((0,), (0,)), ((), ()))   # (Tl,B)x(Tl,C) -> (B,C)
+    acc_dims = (((1,), (0,)), ((), ()))   # (Tl,B)x(B,C) -> (Tl,C)
     for l, R in enumerate(cfg.resolutions):
+        Tl = cfg.level_rows(R)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Tl, B), 0).astype(
+            jnp.float32
+        )
         pos = xx * R
         Ws, u = [], []
         for a in range(3):
@@ -123,7 +132,7 @@ def _bwd_kernel(xt_ref, lines_ref, g_ref, dlines_ref, *, cfg: CPGridConfig, wdty
             Ws.append(W)
             u.append(
                 jax.lax.dot_general(
-                    W, lines_ref[l, a].astype(wdtype), fwd_dims,
+                    W, lines_ref[l, a, :Tl, :].astype(wdtype), fwd_dims,
                     preferred_element_type=jnp.float32,
                 )
             )
@@ -131,9 +140,9 @@ def _bwd_kernel(xt_ref, lines_ref, g_ref, dlines_ref, *, cfg: CPGridConfig, wdty
         others = [u[1] * u[2], u[0] * u[2], u[0] * u[1]]
         for a in range(3):
             grad_u = (g * others[a]).astype(wdtype)  # (B, C)
-            dlines_ref[l, a] += jax.lax.dot_general(
+            dlines_ref[l, a, :Tl, :] += jax.lax.dot_general(
                 Ws[a], grad_u, acc_dims, preferred_element_type=jnp.float32
-            )  # (T, C) — parameter layout, no transpose
+            )  # (Tl, C) — parameter layout, no transpose; rows ≥ Tl stay 0
 
 
 def _pad_points_t(xt, block: int):

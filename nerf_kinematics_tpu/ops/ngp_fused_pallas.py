@@ -1,32 +1,45 @@
 """Fully-fused NGP point pipeline: one Pallas TPU kernel for
-encode → density MLP → color MLP, forward and backward.
+encode → density MLP → color MLP, forward and backward — channels-first.
 
 TPU-native equivalent of tiny-cuda-nn's ``fully_fused_mlp.cu`` composed with
 the reference's GridEncoding (instant-ngp keeps the whole point→radiance
 chain in registers/shared memory; SURVEY.md §7 step 8). Run as separate XLA
-ops, the chain materializes every activation in HBM: at the flagship batch
-(786k points/step) the 240-wide encoder output alone is ~380 MB bf16 per
-direction, and the full fwd+bwd inter-op traffic is gigabytes per step —
-the measured bottleneck once the encoder kernel itself was fast
-(ARCHITECTURE.md §8). Here a block of points flows through the entire chain
-inside VMEM; HBM sees only points (3), SH features (16), rgb+σ (4) and the
-parameter/gradient arrays.
+ops the chain materializes every activation in HBM — gigabytes per step at
+the flagship batch; fused, HBM sees only points, view directions, rgbσ and
+the parameter/gradient arrays.
 
-Layout choices follow ops/cp_grid_pallas.py (points-in-lanes hat-function
-weights for the encoder; dot_general picks contraction dims so nothing
-transposes). MLP matmuls run in bf16 on the MXU with f32 accumulation.
-The backward kernel recomputes the forward (no residuals) and accumulates
-parameter gradients in VMEM across sequential grid steps.
+CHANNELS-FIRST LAYOUT (the round-2 redesign): every activation lives as
+(features, points) — features in sublanes, the point block in lanes:
+
+  - The encoder already wants points-in-lanes ((T, B) hat weights, see
+    ops/cp_grid_pallas.py); emitting u = lines^T·W as (C, B) keeps that
+    orientation instead of transposing to (B, C).
+  - The MLPs run transposed: z = dot_general(W (in,out), h (in,B)) — the
+    weight matrices stay in their natural parameter layout, the contraction
+    runs over sublanes on both operands, and NO transpose exists anywhere
+    in the kernel, forward or backward (the backward's dW = h·gᵀ contracts
+    the lane dim of two (·, B) operands, again transpose-free).
+  - IO is (3, N) points / (3, N) view directions → (4, N) rgbσ. Arrays
+    whose LAST dim is 3 or 4 waste 125 of 128 lanes in every elementwise op
+    that touches them (measured ~5 ms/step of such ops in the round-2
+    profile); the (4, N) contract keeps the whole render path full-width.
+    Compositing consumes this directly (ops/volume_render.raw2outputs_cf).
+  - SH degree-4 view features are evaluated IN-KERNEL from (3, N) unit
+    directions ((1, B)-row polynomial math on the VPU) — the (N, 16)
+    feature array never exists in HBM.
+
+MLP matmuls run in bf16 on the MXU with f32 accumulation. The backward
+kernel recomputes the forward (no residuals) and accumulates parameter
+gradients in VMEM across sequential grid steps.
 
 GRADIENT CONTRACT (same as cp_encode_pallas): exact cotangents for the
 line tables and every MLP weight/bias; ZERO cotangents for point positions
-and SH features (both are stop-gradiented data in every training path).
+and view directions (both are stop-gradiented data in every training path).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -39,77 +52,87 @@ from .cp_grid_pallas import _hat_weights
 DEFAULT_BLOCK = 512
 
 
-def _encode_block(xt, lines_ref, cfg: CPGridConfig, wdtype):
-    """(3, B) points → (B, L*C) f32 encoding (in-register)."""
+def _sh4_rows(vd):
+    """(3, B) unit directions → (16, B) real SH basis rows (degree 4).
+
+    Row-wise mirror of ops/sh.sh_encode (same constants, same order) so the
+    color MLP sees identical inputs; (1, B) rows broadcast/concat along
+    sublanes for free in the points-in-lanes layout.
+    """
+    x, y, z = vd[0:1], vd[1:2], vd[2:3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    rows = [
+        jnp.full_like(x, 0.28209479177387814),
+        -0.48860251190291987 * y,
+        0.48860251190291987 * z,
+        -0.48860251190291987 * x,
+        1.0925484305920792 * xy,
+        -1.0925484305920792 * yz,
+        0.94617469575755997 * zz - 0.31539156525251999,
+        -1.0925484305920792 * xz,
+        0.54627421529603959 * (xx - yy),
+        0.59004358992664352 * y * (-3.0 * xx + yy),
+        2.8906114426405538 * xy * z,
+        0.45704579946446572 * y * (1.0 - 5.0 * zz),
+        0.3731763325901154 * z * (5.0 * zz - 3.0),
+        0.45704579946446572 * x * (1.0 - 5.0 * zz),
+        1.4453057213202769 * z * (xx - yy),
+        0.59004358992664352 * x * (-xx + 3.0 * yy),
+    ]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _encode_block_cf(xt, lines_ref, cfg: CPGridConfig, wdtype):
+    """(3, B) points → (L*C, B) f32 encoding, channels in sublanes."""
     B = xt.shape[1]
     T, C = cfg.table_size, cfg.n_components
     xx = jnp.clip(xt, 0.0, 1.0)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0).astype(jnp.float32)
+    # lines (Tl, C) contracted with W (Tl, B) over Tl → (C, B).
     dims = (((0,), (0,)), ((), ()))
     outs = []
     for l, R in enumerate(cfg.resolutions):
+        Tl = cfg.level_rows(R)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Tl, B), 0).astype(
+            jnp.float32
+        )
         pos = xx * R
         u = []
         for a in range(3):
             W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype)
             u.append(
                 jax.lax.dot_general(
-                    W, lines_ref[l, a].astype(wdtype), dims,
+                    lines_ref[l, a, :Tl, :].astype(wdtype), W, dims,
                     preferred_element_type=jnp.float32,
                 )
             )
         outs.append(u[0] * u[1] * u[2])
-    return jnp.concatenate(outs, axis=-1)
+    return jnp.concatenate(outs, axis=0)
 
 
-def _mlp_fwd_block(h, weights, biases, wdtype, save_pre=False):
-    """Dense chain with ReLU between layers (none after the last).
-    Returns (out, pre_activations list if save_pre)."""
+def _mlp_fwd_cf(h, weights, biases, wdtype, save_pre=False):
+    """Transposed dense chain: h (in, B) → (out, B); ReLU between layers.
+    Weights in natural (in, out) layout, biases (out, 1)."""
     pres = []
     n = len(weights)
     for i in range(n):
         z = (
             jax.lax.dot_general(
-                h.astype(wdtype), weights[i].astype(wdtype),
-                (((1,), (0,)), ((), ())),
+                weights[i].astype(wdtype), h.astype(wdtype),
+                (((0,), (0,)), ((), ())),  # contract `in` (sublanes both)
                 preferred_element_type=jnp.float32,
             )
             + biases[i]
         )
         if save_pre:
-            pres.append((h, z))  # (layer input, pre-activation)
+            pres.append((h, z))
         h = jnp.maximum(z, 0.0) if i < n - 1 else z
     return h, pres
 
 
-def _sigma_from_feat(feat):
-    z0 = jnp.clip(feat[:, 0:1], -15.0, 15.0)
-    return jnp.exp(z0)
-
-
-def _fwd_kernel(xt_ref, sh_ref, lines_ref, *param_refs,
-                cfg: CPGridConfig, nd: int, nc: int, wdtype):
-    """params order: dW[0..nd-1], db[0..nd-1], cW[0..nc-1], cb[0..nc-1];
-    final ref is the output (B, 4): rgb logits + σ."""
-    out_ref = param_refs[-1]
-    dW = [param_refs[i] for i in range(nd)]
-    db = [param_refs[nd + i] for i in range(nd)]
-    cW = [param_refs[2 * nd + i] for i in range(nc)]
-    cb = [param_refs[2 * nd + nc + i] for i in range(nc)]
-
-    enc = _encode_block(xt_ref[:], lines_ref, cfg, wdtype)
-    feat, _ = _mlp_fwd_block(enc, [w[:] for w in dW], [b[:] for b in db],
-                             wdtype)
-    sigma = _sigma_from_feat(feat)
-    h = jnp.concatenate([feat, sh_ref[:]], axis=-1)
-    rgb, _ = _mlp_fwd_block(h, [w[:] for w in cW], [b[:] for b in cb], wdtype)
-    out_ref[:, 0:3] = rgb
-    out_ref[:, 3:4] = sigma
-
-
-def _mlp_bwd_block(g, pres, weights, wdtype):
-    """Backprop through a Dense chain. ``pres``: [(input, pre_act)] per
-    layer from the forward. Returns (d_input, [dW], [db])."""
+def _mlp_bwd_cf(g, pres, weights, wdtype):
+    """Backprop the transposed chain. g (out, B) → (d_input (in, B),
+    [dW (in, out)], [db (out, 1)])."""
     n = len(weights)
     dWs, dbs = [None] * n, [None] * n
     for i in reversed(range(n)):
@@ -117,24 +140,48 @@ def _mlp_bwd_block(g, pres, weights, wdtype):
         if i < n - 1:
             g = g * (z > 0.0)
         gw = g.astype(wdtype)
-        # dW = inp^T @ g : contract the batch dim of both.
+        # dW = inp · gᵀ : contract the lane (batch) dim of both → (in, out).
         dWs[i] = jax.lax.dot_general(
-            inp.astype(wdtype), gw, (((0,), (0,)), ((), ())),
+            inp.astype(wdtype), gw, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dbs[i] = jnp.sum(g, axis=0, keepdims=True)
-        # d_inp = g @ W^T : contract the output dim.
+        dbs[i] = jnp.sum(g, axis=1, keepdims=True)
+        # d_inp = W · g : contract `out` → (in, B).
         g = jax.lax.dot_general(
-            gw, weights[i].astype(wdtype), (((1,), (1,)), ((), ())),
+            weights[i].astype(wdtype), gw, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     return g, dWs, dbs
 
 
-def _bwd_kernel(xt_ref, sh_ref, lines_ref, *refs,
+def _sigma_row(feat):
+    z0 = jnp.clip(feat[0:1], -15.0, 15.0)
+    return jnp.exp(z0)
+
+
+def _fwd_kernel(xt_ref, vd_ref, lines_ref, *param_refs,
                 cfg: CPGridConfig, nd: int, nc: int, wdtype):
-    """refs: dW, db, cW, cb (params), g (B,4) — then outputs:
-    dlines, ddW[nd], ddb[nd], dcW[nc], dcb[nc] (all accumulated)."""
+    """params order: dW[0..nd-1], db[0..nd-1], cW[0..nc-1], cb[0..nc-1];
+    final ref is the output (4, B): rgb logits rows 0-2, σ row 3."""
+    out_ref = param_refs[-1]
+    dW = [param_refs[i] for i in range(nd)]
+    db = [param_refs[nd + i] for i in range(nd)]
+    cW = [param_refs[2 * nd + i] for i in range(nc)]
+    cb = [param_refs[2 * nd + nc + i] for i in range(nc)]
+
+    enc = _encode_block_cf(xt_ref[:], lines_ref, cfg, wdtype)
+    feat, _ = _mlp_fwd_cf(enc, [w[:] for w in dW], [b[:] for b in db], wdtype)
+    sigma = _sigma_row(feat)
+    h = jnp.concatenate([feat, _sh4_rows(vd_ref[:])], axis=0)
+    rgb, _ = _mlp_fwd_cf(h, [w[:] for w in cW], [b[:] for b in cb], wdtype)
+    out_ref[0:3, :] = rgb
+    out_ref[3:4, :] = sigma
+
+
+def _bwd_kernel(xt_ref, vd_ref, lines_ref, *refs,
+                cfg: CPGridConfig, nd: int, nc: int, wdtype):
+    """refs: dW, db, cW, cb (params), g (4, B) — then outputs:
+    dlines, ddW[nd], ddb[nd], dcW[nc], dcb[nc] (accumulated in VMEM)."""
     n_params = 2 * nd + 2 * nc
     dW = [refs[i] for i in range(nd)]
     db = [refs[nd + i] for i in range(nd)]
@@ -156,13 +203,17 @@ def _bwd_kernel(xt_ref, sh_ref, lines_ref, *refs,
     B = xt_ref.shape[1]
     T, C = cfg.table_size, cfg.n_components
     xx = jnp.clip(xt_ref[:], 0.0, 1.0)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0).astype(jnp.float32)
-    fwd_dims = (((0,), (0,)), ((), ()))
-    acc_dims = (((1,), (0,)), ((), ()))
+    fwd_dims = (((0,), (0,)), ((), ()))   # (Tl,C)x(Tl,B) -> (C,B)
+    acc_dims = (((1,), (1,)), ((), ()))   # (Tl,B)x(C,B) -> (Tl,C)
 
     # ---- recompute forward, keeping residuals as in-register values ----
     Ws_all, u_all, enc_parts = [], [], []
+    rows = [cfg.level_rows(R) for R in cfg.resolutions]
     for l, R in enumerate(cfg.resolutions):
+        Tl = rows[l]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Tl, B), 0).astype(
+            jnp.float32
+        )
         pos = xx * R
         Ws, u = [], []
         for a in range(3):
@@ -170,39 +221,38 @@ def _bwd_kernel(xt_ref, sh_ref, lines_ref, *refs,
             Ws.append(W)
             u.append(
                 jax.lax.dot_general(
-                    W, lines_ref[l, a].astype(wdtype), fwd_dims,
+                    lines_ref[l, a, :Tl, :].astype(wdtype), W, fwd_dims,
                     preferred_element_type=jnp.float32,
                 )
             )
         Ws_all.append(Ws)
         u_all.append(u)
         enc_parts.append(u[0] * u[1] * u[2])
-    enc = jnp.concatenate(enc_parts, axis=-1)
+    enc = jnp.concatenate(enc_parts, axis=0)
 
     dWv = [w[:] for w in dW]
     dbv = [b[:] for b in db]
     cWv = [w[:] for w in cW]
     cbv = [b[:] for b in cb]
-    feat, d_pres = _mlp_fwd_block(enc, dWv, dbv, wdtype, save_pre=True)
-    sigma = _sigma_from_feat(feat)
-    h = jnp.concatenate([feat, sh_ref[:]], axis=-1)
-    _, c_pres = _mlp_fwd_block(h, cWv, cbv, wdtype, save_pre=True)
+    feat, d_pres = _mlp_fwd_cf(enc, dWv, dbv, wdtype, save_pre=True)
+    sigma = _sigma_row(feat)
+    h = jnp.concatenate([feat, _sh4_rows(vd_ref[:])], axis=0)
+    _, c_pres = _mlp_fwd_cf(h, cWv, cbv, wdtype, save_pre=True)
 
     # ---- backward ------------------------------------------------------
-    g_rgb = g_ref[:, 0:3]
-    g_sigma = g_ref[:, 3:4]
-    dh, dcWs, dcbs = _mlp_bwd_block(g_rgb, c_pres, cWv, wdtype)
-    d_feat = dh[:, : feat.shape[1]]
-    # σ = exp(clip(z0)): route dσ into feat channel 0 where unclipped.
-    # (Masked broadcast-add: Mosaic has no scatter-add primitive.)
-    z0 = feat[:, 0:1]
+    g_rgb = g_ref[0:3, :]
+    g_sigma = g_ref[3:4, :]
+    dh, dcWs, dcbs = _mlp_bwd_cf(g_rgb, c_pres, cWv, wdtype)
+    d_feat = dh[: feat.shape[0], :]
+    # σ = exp(clip(z0)): route dσ into feat row 0 where unclipped.
+    z0 = feat[0:1]
     live = jnp.logical_and(z0 > -15.0, z0 < 15.0)
-    dz0 = jnp.where(live, g_sigma * sigma, 0.0)  # (B, 1)
-    col0 = (
-        jax.lax.broadcasted_iota(jnp.int32, d_feat.shape, 1) == 0
+    dz0 = jnp.where(live, g_sigma * sigma, 0.0)  # (1, B)
+    row0 = (
+        jax.lax.broadcasted_iota(jnp.int32, d_feat.shape, 0) == 0
     ).astype(d_feat.dtype)
-    d_feat = d_feat + dz0 * col0
-    d_enc, ddWs, ddbs = _mlp_bwd_block(d_feat, d_pres, dWv, wdtype)
+    d_feat = d_feat + dz0 * row0
+    d_enc, ddWs, ddbs = _mlp_bwd_cf(d_feat, d_pres, dWv, wdtype)
 
     for i in range(nc):
         dcW[i][...] += dcWs[i]
@@ -211,45 +261,28 @@ def _bwd_kernel(xt_ref, sh_ref, lines_ref, *refs,
         ddW[i][...] += ddWs[i]
         ddb[i][...] += ddbs[i]
 
-    # ---- encoder backward (as in cp_grid_pallas) ------------------------
+    # ---- encoder backward (as in cp_grid_pallas, channels-first) --------
     for l in range(cfg.n_levels):
         u = u_all[l]
-        g_l = d_enc[:, l * C : (l + 1) * C]
+        Tl = rows[l]
+        g_l = d_enc[l * C : (l + 1) * C, :]  # (C, B)
         others = [u[1] * u[2], u[0] * u[2], u[0] * u[1]]
         for a in range(3):
-            grad_u = (g_l * others[a]).astype(wdtype)
-            dlines_ref[l, a] += jax.lax.dot_general(
+            grad_u = (g_l * others[a]).astype(wdtype)  # (C, B)
+            dlines_ref[l, a, :Tl, :] += jax.lax.dot_general(
                 Ws_all[l][a], grad_u, acc_dims,
                 preferred_element_type=jnp.float32,
-            )
+            )  # (Tl, C) — parameter layout; rows ≥ Tl stay 0
 
 
-def _pad_to_blocks(arr, block: int, axis: int):
-    n = arr.shape[axis]
+def _pad_lanes(arr, block: int):
+    """(rows, N) → (rows, n_blocks*block), returns (arr, N, n_blocks)."""
+    n = arr.shape[1]
     n_blocks = -(-n // block)
     pad = n_blocks * block - n
     if pad:
-        widths = [(0, 0)] * arr.ndim
-        widths[axis] = (0, pad)
-        arr = jnp.pad(arr, widths)
+        arr = jnp.pad(arr, ((0, 0), (0, pad)))
     return arr, n, n_blocks
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def ngp_fused_apply(
-    params: dict,
-    x: jnp.ndarray,
-    sh: jnp.ndarray,
-    cfg: CPGridConfig,
-    block: int = DEFAULT_BLOCK,
-    interpret: bool = False,
-):
-    """Fused point pipeline. ``params``: {"lines": (L,3,T,C),
-    "dW": [..], "db": [..], "cW": [..], "cb": [..]} (biases shaped (1, n)).
-    ``x``: (..., 3) unit-cube points; ``sh``: (..., S) view features.
-    Returns (rgb logits (..., 3), σ (...,)).
-    """
-    return _fused_forward(params, x, sh, cfg, block, interpret)
 
 
 def _flatten_params(params):
@@ -260,12 +293,28 @@ def _flatten_params(params):
     )
 
 
-def _fused_forward(params, x, sh, cfg, block, interpret):
-    orig = x.shape[:-1]
-    xt = x.reshape(-1, 3).T
-    shf = sh.reshape(-1, sh.shape[-1])
-    xt, n, n_blocks = _pad_to_blocks(xt, block, axis=1)
-    shf, _, _ = _pad_to_blocks(shf, block, axis=0)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def ngp_fused_apply_cf(
+    params: dict,
+    xt: jnp.ndarray,
+    vdt: jnp.ndarray,
+    cfg: CPGridConfig,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+):
+    """Fused point pipeline, channels-first IO.
+
+    ``params``: {"lines": (L,3,T,C), "dW": [(in,out)..], "db": [(out,1)..],
+    "cW": [..], "cb": [..]}. ``xt``: (3, N) unit-cube points; ``vdt``:
+    (3, N) unit view directions (SH evaluated in-kernel). Returns (4, N):
+    rows 0-2 rgb logits, row 3 σ.
+    """
+    return _fused_forward_cf(params, xt, vdt, cfg, block, interpret)
+
+
+def _fused_forward_cf(params, xt, vdt, cfg, block, interpret):
+    xt, n, n_blocks = _pad_lanes(xt, block)
+    vdt, _, _ = _pad_lanes(vdt, block)
     nd, nc = len(params["dW"]), len(params["cW"])
     wdtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
 
@@ -275,36 +324,27 @@ def _fused_forward(params, x, sh, cfg, block, interpret):
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, sh.shape[-1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat],
-        out_specs=pl.BlockSpec((block, 4), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((4, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * block, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, n_blocks * block), jnp.float32),
         interpret=interpret,
-    )(xt, shf, *flat)
-    out = out[:n]
-    rgb = out[:, 0:3].reshape(*orig, 3)
-    sigma = out[:, 3].reshape(orig)
-    return rgb, sigma
+    )(xt, vdt, *flat)
+    return out[:, :n]
 
 
-def _fused_fwd(params, x, sh, cfg, block, interpret):
-    return _fused_forward(params, x, sh, cfg, block, interpret), (params, x, sh)
-
-
-def _fused_bwd(cfg, block, interpret, res, g):
-    params, x, sh = res
-    g_rgb, g_sigma = g
-    orig_n = x.reshape(-1, 3).shape[0]
-    xt = x.reshape(-1, 3).T
-    shf = sh.reshape(-1, sh.shape[-1])
-    gf = jnp.concatenate(
-        [g_rgb.reshape(-1, 3), g_sigma.reshape(-1, 1)], axis=-1
+def _fused_fwd_cf(params, xt, vdt, cfg, block, interpret):
+    return _fused_forward_cf(params, xt, vdt, cfg, block, interpret), (
+        params, xt, vdt
     )
-    xt, n, n_blocks = _pad_to_blocks(xt, block, axis=1)
-    shf, _, _ = _pad_to_blocks(shf, block, axis=0)
-    gf, _, _ = _pad_to_blocks(gf, block, axis=0)
+
+
+def _fused_bwd_cf(cfg, block, interpret, res, g):
+    params, xt, vdt = res
+    xt, n, n_blocks = _pad_lanes(xt, block)
+    vdt, _, _ = _pad_lanes(vdt, block)
+    gf, _, _ = _pad_lanes(g, block)
     nd, nc = len(params["dW"]), len(params["cW"])
     wdtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
 
@@ -315,11 +355,11 @@ def _fused_bwd(cfg, block, interpret, res, g):
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, sh.shape[-1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat]
-        + [pl.BlockSpec((block, 4), lambda i: (i, 0),
+        + [pl.BlockSpec((4, block), lambda i: (0, i),
                         memory_space=pltpu.VMEM)],
+        # Accumulators: same block every grid step (sequential on TPU).
         out_specs=[
             pl.BlockSpec(s.shape, lambda i, _s=s: (0,) * len(_s.shape),
                          memory_space=pltpu.VMEM)
@@ -327,17 +367,32 @@ def _fused_bwd(cfg, block, interpret, res, g):
         ],
         out_shape=out_shapes,
         interpret=interpret,
-    )(xt, shf, *flat, gf)
+    )(xt, vdt, *flat, gf)
 
-    d_lines = outs[0]
     d_params = {
-        "lines": d_lines,
+        "lines": outs[0],
         "dW": list(outs[1 : 1 + nd]),
         "db": list(outs[1 + nd : 1 + 2 * nd]),
         "cW": list(outs[1 + 2 * nd : 1 + 2 * nd + nc]),
         "cb": list(outs[1 + 2 * nd + nc : 1 + 2 * nd + 2 * nc]),
     }
-    return d_params, jnp.zeros_like(x), jnp.zeros_like(sh)
+    return d_params, jnp.zeros((3, n), xt.dtype), jnp.zeros((3, n), vdt.dtype)
 
 
-ngp_fused_apply.defvjp(_fused_fwd, _fused_bwd)
+ngp_fused_apply_cf.defvjp(_fused_fwd_cf, _fused_bwd_cf)
+
+
+def ngp_fused_apply(params, x, vd, cfg, block: int = DEFAULT_BLOCK,
+                    interpret: bool = False):
+    """Compatibility wrapper over :func:`ngp_fused_apply_cf` with
+    channels-LAST IO: ``x``/``vd`` (..., 3) → (rgb logits (..., 3),
+    σ (...,)). The hot training path calls the cf variant directly
+    (rendering/renderer.py) — this wrapper's transposes are for tests and
+    non-critical callers."""
+    orig = x.shape[:-1]
+    xt = x.reshape(-1, 3).T
+    vdt = vd.reshape(-1, 3).T
+    out = ngp_fused_apply_cf(params, xt, vdt, cfg, block, interpret)
+    rgb = out[0:3, :].T.reshape(*orig, 3)
+    sigma = out[3, :].reshape(orig)
+    return rgb, sigma

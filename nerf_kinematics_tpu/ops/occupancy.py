@@ -158,6 +158,53 @@ def occupancy_at_nearest(
     return jnp.take(grid.density.reshape(-1), flat, axis=0)
 
 
+def axis_projections(grid: OccupancyGrid) -> jnp.ndarray:
+    """(R, 3) per-axis max-projections of the density grid.
+
+    ``proj[t, a] = max over the other two axes of density`` — an upper bound
+    of the true occupancy along each axis, the separable proxy used by
+    :func:`occupancy_at_projected`. Three max-reduces over the grid (~µs);
+    recompute freely inside the train step whenever the grid changes.
+    """
+    d = grid.density
+    return jnp.stack(
+        [d.max(axis=(1, 2)), d.max(axis=(0, 2)), d.max(axis=(0, 1))], axis=-1
+    )
+
+
+def occupancy_at_projected(
+    proj: jnp.ndarray,
+    pts: jnp.ndarray,
+    to_unit: Callable,
+) -> jnp.ndarray:
+    """Separable occupancy proxy: min over axes of the per-axis projections,
+    looked up with a one-hot MATMUL — zero gathers.
+
+    Rationale: XLA's TPU gather runs ~140M elem/s (measured: 3.7 ms for the
+    524k-point nearest-cell lookup in the 8192-ray train step), while a
+    (P, R) one-hot contracted against (R, 3) is sub-millisecond MXU work.
+    ``min(px[x], py[y], pz[z]) ≥ occ[x, y, z]`` — conservative: occupied
+    cells always keep their weight; some empty "ghost" cells (the outer
+    product of projections) get sampled too, which costs a few wasted
+    samples, never lost content.
+    """
+    R = proj.shape[0]
+    u = to_unit(pts)  # (..., 3) in [0, 1]
+    idx = jnp.clip(u * R, 0.0, R - 1.0)  # nearest-cell coordinate
+    flat = idx.reshape(-1, 3)
+    iota = jnp.arange(R, dtype=jnp.float32)
+    # Nearest-cell one-hot as a hat with width 1/2 (exact match of floor):
+    # |p - t| < 0.5 ⇒ t == round(p - 0.5 + 0.5) == floor(p) for p ∈ [t, t+1).
+    onehot = (jnp.abs(jnp.floor(flat)[..., None] - iota) < 0.5).astype(
+        jnp.bfloat16
+    )  # (P, 3, R)
+    vals = jnp.einsum(
+        "par,ra->pa", onehot, proj.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.min(vals, axis=-1).reshape(pts.shape[:-1])
+
+
 def occupancy_proposal(
     grid: OccupancyGrid,
     rays_o: jnp.ndarray,
@@ -179,6 +226,26 @@ def occupancy_proposal(
     return occ + floor
 
 
+def occupancy_proposal_projected(
+    grid: OccupancyGrid,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z_bins: jnp.ndarray,
+    floor: float = 1e-2,
+    to_unit: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """Gather-free proposal weights from the separable projection proxy
+    (:func:`occupancy_at_projected`). Same contract as
+    :func:`occupancy_proposal`."""
+    to_unit = to_unit or _linear_to_unit(grid)
+    proj = axis_projections(grid)
+    mids = 0.5 * (z_bins[..., 1:] + z_bins[..., :-1])
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * mids[..., :, None]
+    occ = occupancy_at_projected(proj, pts, to_unit)
+    occ = occ / (jnp.max(occ, axis=-1, keepdims=True) + 1e-9)
+    return occ + floor
+
+
 def occupancy_sample(
     key,
     grid: OccupancyGrid,
@@ -190,15 +257,20 @@ def occupancy_sample(
     num_bins: int = 64,
     deterministic: bool = False,
     to_unit: Optional[Callable] = None,
+    mode: str = "grid",
 ):
     """Occupancy-weighted depth sampling: uniform bins → occupancy PDF →
-    inverse-CDF resample. Static shapes throughout."""
+    inverse-CDF resample. Static shapes throughout. ``mode``: "grid" looks
+    the 3D grid up per bin (exact, gather-bound); "projected" uses the
+    separable axis-projection proxy (gather-free, conservative)."""
     n_rays = rays_o.shape[0]
     bins = jnp.broadcast_to(
         jnp.linspace(near, far, num_bins + 1, dtype=jnp.float32),
         (n_rays, num_bins + 1),
     )
-    weights = occupancy_proposal(grid, rays_o, rays_d, bins, to_unit=to_unit)
+    proposal = (occupancy_proposal_projected if mode == "projected"
+                else occupancy_proposal)
+    weights = proposal(grid, rays_o, rays_d, bins, to_unit=to_unit)
     # stratified_u ⇒ samples come out sorted; no per-ray sort needed.
     return sample_pdf(
         key, bins, weights, num_samples,

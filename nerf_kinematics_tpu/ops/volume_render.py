@@ -81,3 +81,57 @@ def raw2outputs(
         rgb_map = rgb_map + (1.0 - acc_map[..., None])
 
     return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)
+
+
+def raw2outputs_cf(
+    raw4,
+    z_vals,
+    rays_d,
+    noise_std: float = 0.0,
+    white_background: bool = False,
+    noise_key: Optional[jax.Array] = None,
+) -> RenderOutputs:
+    """Channels-first :func:`raw2outputs` for the fused-kernel path.
+
+    ``raw4``: (4, R*S) — rgb logit rows 0-2, pre-activation σ row 3, points
+    flattened ray-major (the output contract of
+    ops/ngp_fused_pallas.ngp_fused_apply_cf). Same math as raw2outputs, but
+    every elementwise op runs on (R, S)- or (3, R, S)-shaped arrays — full
+    128-lane tiles — instead of (N, 3)/(N, 4) arrays that use 3-4 lanes
+    (measured ~5 ms/step of such ops in the round-2 train-step profile).
+    """
+    R, S = z_vals.shape[-2], z_vals.shape[-1]
+    sigma = raw4[3, :].reshape(R, S)
+    rgb_l = raw4[0:3, :].reshape(3, R, S)
+
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1
+    )
+    dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    if noise_std > 0.0:
+        if noise_key is None:
+            raise ValueError("noise_std > 0 requires noise_key")
+        sigma = sigma + noise_std * jax.random.normal(
+            noise_key, sigma.shape, dtype=sigma.dtype
+        )
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1
+    )
+    weights = alpha * trans  # (R, S)
+
+    rgb = jax.nn.sigmoid(rgb_l)  # (3, R, S)
+    rgb_map = jnp.einsum("rs,crs->rc", weights, rgb)
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+    acc_map = jnp.sum(weights, axis=-1)
+    disp_map = 1.0 / jnp.maximum(
+        1e-10, depth_map / jnp.maximum(acc_map, 1e-10)
+    )
+    if white_background:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+
+    return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.sampling import hierarchical_sample, stratified_sample
-from ..ops.volume_render import RenderOutputs, raw2outputs
+from ..ops.volume_render import RenderOutputs, raw2outputs, raw2outputs_cf
 
 
 @dataclass(frozen=True)
@@ -54,6 +54,29 @@ def _query(apply_fn, params, pts, viewdirs):
     return apply_fn(params, pts, vd)
 
 
+def _composite(apply_fn, apply_cf, params, pts, viewdirs, z, rays_d,
+               settings: RenderSettings, noise_key):
+    """Query + composite one pass. When ``apply_cf`` (the channels-first
+    fused-kernel entry, (params, pts, vd) → (4, N)) is available it is used
+    with raw2outputs_cf — the hot path that avoids every (N, 3/4)-layout
+    elementwise op; otherwise the classic channels-last pair."""
+    noise = settings.radiance_field_noise_std
+    key = noise_key if noise > 0 else None
+    if apply_cf is not None:
+        vd = (jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
+              if viewdirs is not None else None)
+        raw4 = apply_cf(params, pts, vd)
+        return raw2outputs_cf(
+            raw4, z, rays_d, noise_std=noise,
+            white_background=settings.white_background, noise_key=key,
+        )
+    raw_rgb, raw_sigma = _query(apply_fn, params, pts, viewdirs)
+    return raw2outputs(
+        raw_rgb, raw_sigma, z, rays_d, noise_std=noise,
+        white_background=settings.white_background, noise_key=key,
+    )
+
+
 def render_rays(
     params_coarse: Any,
     apply_coarse: Callable,
@@ -68,6 +91,8 @@ def render_rays(
     use_viewdirs: bool = True,
     viewdirs=None,
     proposal_fn=None,
+    apply_coarse_cf=None,
+    apply_fine_cf=None,
 ):
     """Render a batch of rays. Returns (coarse: RenderOutputs, fine: RenderOutputs | None).
 
@@ -76,6 +101,9 @@ def render_rays(
     whose view direction must come from the pre-warp rays. ``proposal_fn``
     (key, rays_o, rays_d) → (N, num_coarse) depths replaces the stratified
     coarse sampler (occupancy-guided sample placement).
+    ``apply_coarse_cf``/``apply_fine_cf``: optional channels-first fused
+    entries ((params, pts, vd) → (4, N)); when given they supersede the
+    channels-last apply fns on the query+composite hot path.
     """
     n_rays = rays_o.shape[0]
     deterministic = not settings.perturb
@@ -101,22 +129,14 @@ def render_rays(
             lindisp=settings.lindisp,
         )
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_coarse[..., :, None]
-    raw_rgb, raw_sigma = _query(apply_coarse, params_coarse, pts, viewdirs)
-    noise = settings.radiance_field_noise_std
-    coarse = raw2outputs(
-        raw_rgb,
-        raw_sigma,
-        z_coarse,
-        rays_d,
-        noise_std=noise,
-        white_background=settings.white_background,
-        noise_key=k_noise_c if noise > 0 else None,
-    )
+    coarse = _composite(apply_coarse, apply_coarse_cf, params_coarse, pts,
+                        viewdirs, z_coarse, rays_d, settings, k_noise_c)
 
     fine = None
     if settings.num_fine > 0:
         pf = params_fine if params_fine is not None else params_coarse
         af = apply_fine if apply_fine is not None else apply_coarse
+        af_cf = apply_fine_cf if apply_fine_cf is not None else apply_coarse_cf
         z_all = hierarchical_sample(
             k_pdf,
             z_coarse,
@@ -126,16 +146,8 @@ def render_rays(
             merge=settings.merge_hierarchical,
         )
         pts_f = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
-        raw_rgb_f, raw_sigma_f = _query(af, pf, pts_f, viewdirs)
-        fine = raw2outputs(
-            raw_rgb_f,
-            raw_sigma_f,
-            z_all,
-            rays_d,
-            noise_std=noise,
-            white_background=settings.white_background,
-            noise_key=k_noise_f if noise > 0 else None,
-        )
+        fine = _composite(af, af_cf, pf, pts_f, viewdirs, z_all, rays_d,
+                          settings, k_noise_f)
 
     return coarse, fine
 
@@ -154,6 +166,8 @@ def render_image(
     chunk_rays: Optional[int] = None,
     viewdirs=None,
     proposal_fn=None,
+    apply_coarse_cf=None,
+    apply_fine_cf=None,
 ):
     """Render an (H, W) image by mapping ``render_rays`` over fixed-size ray
     chunks (lax.map ⇒ one compiled program, serial chunks, bounded memory).
@@ -200,6 +214,8 @@ def render_image(
             use_viewdirs=use_viewdirs,
             viewdirs=vd,
             proposal_fn=proposal_fn,
+            apply_coarse_cf=apply_coarse_cf,
+            apply_fine_cf=apply_fine_cf,
         )
         out = fine if fine is not None else coarse
         return out.rgb, out.disp, out.acc, out.depth

@@ -90,6 +90,12 @@ class ClassicNerf:
         occupancy acceleration."""
         return None
 
+    def cf_apply_fns(self):
+        """Optional channels-first fused entries (coarse_cf, fine_cf) for
+        render_rays' hot path — (None, None) unless an engine provides a
+        fused kernel (NGPEngine with ngp.fused)."""
+        return None, None
+
     # -- training -----------------------------------------------------------
     def make_train_step(self, intrinsics, near, far, use_ndc: bool, donate: bool = True):
         """Build the jitted train step closed over static scene geometry.
@@ -114,6 +120,8 @@ class ClassicNerf:
         use_viewdirs = cfg.nerf.use_viewdirs
         has_fine = self.model_fine is not None and settings.num_fine > 0
 
+        cf_coarse, cf_fine = self.cf_apply_fns()
+
         def loss_fn(params, batch, key, aux):
             rays_o, rays_d, viewdirs, target = batch
             coarse, fine = render_rays(
@@ -130,6 +138,8 @@ class ClassicNerf:
                 use_viewdirs=use_viewdirs,
                 viewdirs=viewdirs,
                 proposal_fn=self.proposal_for(aux, near, far, settings),
+                apply_coarse_cf=cf_coarse,
+                apply_fine_cf=cf_fine,
             )
             loss_c = jnp.mean((coarse.rgb - target) ** 2)
             loss = loss_c
@@ -218,6 +228,7 @@ class ClassicNerf:
         settings = cfg.nerf.validation
         H, W = intrinsics.height, intrinsics.width
         has_fine = self.model_fine is not None and settings.num_fine > 0
+        cf_coarse, cf_fine = self.cf_apply_fns()
 
         @jax.jit
         def render_view(params, c2w, aux=None):
@@ -244,6 +255,8 @@ class ClassicNerf:
                 use_viewdirs=cfg.nerf.use_viewdirs,
                 viewdirs=viewdirs,
                 proposal_fn=self.proposal_for(aux, near, far, settings),
+                apply_coarse_cf=cf_coarse,
+                apply_fine_cf=cf_fine,
             )
 
         return render_view

@@ -148,7 +148,7 @@ class NGPEngine(ClassicNerf):
         )
 
     def _fused_params(self, flax_params):
-        """Flax param dict → the raw-array structure of ngp_fused_apply.
+        """Flax param dict → the raw-array structure of ngp_fused_apply_cf.
         Pure pytree restructuring: autodiff transposes it exactly, so the
         fused custom-VJP gradients land back on the flax leaves."""
         p = flax_params["params"]
@@ -160,27 +160,53 @@ class NGPEngine(ClassicNerf):
         return {
             "lines": p["cp_lines"],
             "dW": [p[n]["kernel"] for n in d_names],
-            "db": [p[n]["bias"][None, :] for n in d_names],
+            "db": [p[n]["bias"][:, None] for n in d_names],
             "cW": [p[n]["kernel"] for n in c_names],
-            "cb": [p[n]["bias"][None, :] for n in c_names],
+            "cb": [p[n]["bias"][:, None] for n in c_names],
         }
+
+    def _cf_inputs(self, pts, vd):
+        """(..., 3) pts/vd → stop-gradiented (3, N) kernel operands.
+        Positions and directions are data (the kernel's VJP returns zero
+        cotangents for them anyway); stop_gradient makes that explicit AND
+        lets XLA prune the whole cotangent transpose path — without it the
+        zero arrays are materialized in HBM (measured 0.6 ms/step)."""
+        x = jax.lax.stop_gradient(self._to_unit(pts))
+        if vd is None:
+            vd = jnp.zeros_like(x).at[..., 2].set(1.0)
+        xt = x.reshape(-1, 3).T
+        vdt = jax.lax.stop_gradient(vd).reshape(-1, 3).T
+        return xt, vdt
+
+    def apply_cf(self, params, pts, vd):
+        """Channels-first fused entry for the renderer hot path:
+        (params, pts (..., 3), vd) → (4, N) rgbσ (see raw2outputs_cf)."""
+        from ..ops.ngp_fused_pallas import ngp_fused_apply_cf
+
+        xt, vdt = self._cf_inputs(pts, vd)
+        return ngp_fused_apply_cf(
+            self._fused_params(params), xt, vdt, self.ngp_config.cp,
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    def cf_apply_fns(self):
+        """(coarse_cf, fine_cf) for render_rays — None unless fused."""
+        if not self.fused:
+            return None, None
+        return self.apply_cf, self.apply_cf
 
     def _apply(self, params, pts, vd):
         if not self.fused:
             return self.model.apply(params, self._to_unit(pts), vd)
         from ..ops.ngp_fused_pallas import ngp_fused_apply
-        from ..ops.sh import sh_encode
 
-        x = self._to_unit(pts)
+        x = jax.lax.stop_gradient(self._to_unit(pts))
         if vd is None:
             vd = jnp.zeros_like(x).at[..., 2].set(1.0)
-        sh = jax.lax.stop_gradient(
-            sh_encode(vd, self.ngp_config.sh_degree)
-        )
-        interpret = jax.default_backend() != "tpu"
         return ngp_fused_apply(
-            self._fused_params(params), x, sh, self.ngp_config.cp,
-            interpret=interpret,
+            self._fused_params(params), x, jax.lax.stop_gradient(vd),
+            self.ngp_config.cp,
+            interpret=jax.default_backend() != "tpu",
         )
 
     def apply_coarse(self, params, pts, vd):
@@ -215,6 +241,7 @@ class NGPEngine(ClassicNerf):
             return occupancy_sample(
                 key, aux, rays_o, rays_d, near, far, settings.num_coarse,
                 deterministic=not settings.perturb, to_unit=to_unit,
+                mode=self.ngp_config.occ_proposal,
             )
 
         return proposal
