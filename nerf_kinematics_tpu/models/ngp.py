@@ -55,9 +55,11 @@ class NGPConfig:
     occ_update_every: int = 256
     # Proposal lookup: "grid" = exact per-bin 3D nearest-cell gather
     # (measured 3.7 ms/step at 8192x64 on v5e — XLA TPU gathers run
-    # ~140M elem/s); "projected" = separable axis-projection proxy via
-    # one-hot matmuls, gather-free (ops/occupancy.py::occupancy_at_projected).
-    occ_proposal: str = "projected"
+    # ~140M elem/s); "hull" = visual-hull proxy from the three 2D
+    # pair-projections via one-hot matmuls, gather-free and near-exact
+    # (machina A/B: grid 29.1 dB / hull ≈ grid / 1D-projected 27.6 dB);
+    # "projected" = 1D axis-projection proxy (cheapest, loosest).
+    occ_proposal: str = "hull"
     # Incremental maintenance between full sweeps (NGP's steady-state decay
     # + random-subset requery); full sweep every ``occ_full_every`` steps.
     occ_incremental_cells: int = 65536

@@ -226,6 +226,74 @@ def occupancy_proposal(
     return occ + floor
 
 
+def pair_projections(grid: OccupancyGrid) -> jnp.ndarray:
+    """(3, R, R) per-axis-pair max-projections: Pxy (max over z), Pxz (max
+    over y), Pyz (max over x) — the visual-hull factorization of the grid.
+    Three max-reduces (~µs); recompute freely inside the train step."""
+    d = grid.density
+    return jnp.stack(
+        [d.max(axis=2), d.max(axis=1), d.max(axis=0)], axis=0
+    )
+
+
+def occupancy_at_hull(
+    proj2: jnp.ndarray,
+    pts: jnp.ndarray,
+    to_unit: Callable,
+) -> jnp.ndarray:
+    """Visual-hull occupancy proxy: min of the three 2D pair-projections,
+    each evaluated as a bilinear one-hot form — zero gathers.
+
+    ``min(Pxy[x,y], Pxz[x,z], Pyz[y,z])`` bounds the true cell occupancy
+    from above and is far tighter than the 1D-projection proxy (ghost cells
+    need all THREE silhouettes to intersect — the classic visual-hull
+    argument). Each lookup is wᵃᵀ P wᵇ via (P_pts, R) one-hot matmuls: MXU
+    work instead of the ~140M elem/s XLA gather (measured A/B on machina:
+    1D proxy costs 1.6 dB vs the exact grid; the hull recovers it).
+    """
+    R = proj2.shape[-1]
+    u = to_unit(pts)
+    idx = jnp.floor(jnp.clip(u * R, 0.0, R - 1.0))
+    flat = idx.reshape(-1, 3)
+    iota = jnp.arange(R, dtype=jnp.float32)
+    oh = (jnp.abs(flat[..., None] - iota) < 0.5).astype(jnp.bfloat16)
+    ox, oy, oz = oh[:, 0], oh[:, 1], oh[:, 2]  # (P, R) each
+    p2 = proj2.astype(jnp.bfloat16)
+
+    def bilinear(oa, P, ob):
+        m = jax.lax.dot_general(
+            oa, P, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P_pts, R)
+        return jnp.sum(m * ob.astype(jnp.float32), axis=-1)
+
+    v = jnp.minimum(
+        bilinear(ox, p2[0], oy),
+        jnp.minimum(bilinear(ox, p2[1], oz), bilinear(oy, p2[2], oz)),
+    )
+    return v.reshape(pts.shape[:-1])
+
+
+def occupancy_proposal_hull(
+    grid: OccupancyGrid,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z_bins: jnp.ndarray,
+    floor: float = 1e-2,
+    to_unit: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """Gather-free proposal weights from the visual-hull proxy
+    (:func:`occupancy_at_hull`). Same contract as
+    :func:`occupancy_proposal`."""
+    to_unit = to_unit or _linear_to_unit(grid)
+    proj2 = pair_projections(grid)
+    mids = 0.5 * (z_bins[..., 1:] + z_bins[..., :-1])
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * mids[..., :, None]
+    occ = occupancy_at_hull(proj2, pts, to_unit)
+    occ = occ / (jnp.max(occ, axis=-1, keepdims=True) + 1e-9)
+    return occ + floor
+
+
 def occupancy_proposal_projected(
     grid: OccupancyGrid,
     rays_o: jnp.ndarray,
@@ -261,15 +329,18 @@ def occupancy_sample(
 ):
     """Occupancy-weighted depth sampling: uniform bins → occupancy PDF →
     inverse-CDF resample. Static shapes throughout. ``mode``: "grid" looks
-    the 3D grid up per bin (exact, gather-bound); "projected" uses the
-    separable axis-projection proxy (gather-free, conservative)."""
+    the 3D grid up per bin (exact, gather-bound); "hull" uses the 2D
+    pair-projection visual-hull proxy (gather-free, near-exact); and
+    "projected" the 1D axis-projection proxy (cheapest, loosest)."""
     n_rays = rays_o.shape[0]
     bins = jnp.broadcast_to(
         jnp.linspace(near, far, num_bins + 1, dtype=jnp.float32),
         (n_rays, num_bins + 1),
     )
-    proposal = (occupancy_proposal_projected if mode == "projected"
-                else occupancy_proposal)
+    proposal = {
+        "projected": occupancy_proposal_projected,
+        "hull": occupancy_proposal_hull,
+    }.get(mode, occupancy_proposal)
     weights = proposal(grid, rays_o, rays_d, bins, to_unit=to_unit)
     # stratified_u ⇒ samples come out sorted; no per-ray sort needed.
     return sample_pdf(
