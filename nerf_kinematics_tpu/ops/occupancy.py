@@ -283,13 +283,19 @@ def occupancy_proposal_hull(
     to_unit: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Gather-free proposal weights from the visual-hull proxy
-    (:func:`occupancy_at_hull`). Same contract as
-    :func:`occupancy_proposal`."""
+    (:func:`occupancy_at_hull`; VMEM-resident Pallas kernel on TPU).
+    Same contract as :func:`occupancy_proposal`."""
     to_unit = to_unit or _linear_to_unit(grid)
     proj2 = pair_projections(grid)
     mids = 0.5 * (z_bins[..., 1:] + z_bins[..., :-1])
     pts = rays_o[..., None, :] + rays_d[..., None, :] * mids[..., :, None]
-    occ = occupancy_at_hull(proj2, pts, to_unit)
+    if jax.default_backend() == "tpu":
+        from .occupancy_pallas import occupancy_at_hull_pallas
+
+        xt = to_unit(pts).reshape(-1, 3).T
+        occ = occupancy_at_hull_pallas(proj2, xt).reshape(pts.shape[:-1])
+    else:
+        occ = occupancy_at_hull(proj2, pts, to_unit)
     occ = occ / (jnp.max(occ, axis=-1, keepdims=True) + 1e-9)
     return occ + floor
 

@@ -64,3 +64,84 @@ def test_samples_concentrate_in_occupied_space():
     # sampling should concentrate far more than that.
     assert float(inside) > 0.6
     assert (jnp.diff(z[0]) >= 0).all()
+
+
+def test_proxy_lookups_bound_the_grid():
+    """Both gather-free proxies are UPPER bounds of the exact nearest-cell
+    lookup (conservative: occupied space never loses proposal weight), and
+    the visual hull is at least as tight as the 1D projection proxy."""
+    from nerf_kinematics_tpu.ops.occupancy import (
+        _linear_to_unit,
+        axis_projections,
+        occupancy_at_nearest,
+        occupancy_at_projected,
+        occupancy_at_hull,
+        pair_projections,
+    )
+
+    key = jax.random.PRNGKey(3)
+    grid = init_grid(resolution=16, bound=1.0)
+    grid = grid._replace(
+        density=jax.random.uniform(key, (16, 16, 16)) ** 4 * 10.0
+    )
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(4), (512, 3), minval=-1.0, maxval=1.0
+    )
+    to_unit = _linear_to_unit(grid)
+    exact = np.asarray(occupancy_at_nearest(grid, pts))
+    hull = np.asarray(occupancy_at_hull(pair_projections(grid), pts, to_unit))
+    proj1d = np.asarray(
+        occupancy_at_projected(axis_projections(grid), pts, to_unit)
+    )
+    # bf16 matmul lookups: allow a small relative tolerance on the bounds.
+    tol = 1e-2 * exact.max()
+    assert (hull >= exact - tol).all(), "hull must upper-bound the grid"
+    assert (proj1d >= hull - tol).all(), "1D proxy must upper-bound the hull"
+    # Tightness: hull should beat the 1D proxy on average for a random field.
+    assert hull.mean() < proj1d.mean()
+
+
+def test_occupancy_sample_modes_agree_on_simple_field():
+    """All three proposal modes concentrate samples inside the occupied
+    sphere on a simple scene."""
+    grid = init_grid(resolution=32, bound=1.0)
+    grid = update_grid(grid, _sphere_density, jax.random.PRNGKey(0), decay=0.0)
+    n_rays = 64
+    rays_o = jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (n_rays, 1))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n_rays, 1))
+    for mode in ("grid", "hull", "projected"):
+        z = occupancy_sample(
+            jax.random.PRNGKey(1), grid, rays_o, rays_d, 0.5, 3.5, 32,
+            mode=mode,
+        )
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        inside = jnp.linalg.norm(pts, axis=-1) < 0.5
+        frac = float(inside.mean())
+        assert frac > 0.55, (mode, frac)
+
+
+def test_hull_pallas_kernel_matches_xla(tmp_path):
+    """Interpret-mode parity of the hull Pallas kernel vs the XLA form."""
+    from nerf_kinematics_tpu.ops.occupancy import (
+        _linear_to_unit,
+        occupancy_at_hull,
+        pair_projections,
+    )
+    from nerf_kinematics_tpu.ops.occupancy_pallas import (
+        occupancy_at_hull_pallas,
+    )
+
+    key = jax.random.PRNGKey(5)
+    grid = init_grid(resolution=24, bound=1.0)
+    grid = grid._replace(density=jax.random.uniform(key, (24, 24, 24)) * 5.0)
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(6), (1000, 3), minval=-1.0, maxval=1.0
+    )
+    to_unit = _linear_to_unit(grid)
+    p2 = pair_projections(grid)
+    ref = occupancy_at_hull(p2, pts, to_unit)
+    xt = to_unit(pts).reshape(-1, 3).T
+    out = occupancy_at_hull_pallas(p2, xt, block=256, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
