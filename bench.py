@@ -127,6 +127,21 @@ def main() -> None:
     peak = PEAK_FLOPS.get(kind)
     mfu_pct = (flops_per_step / step_s / peak * 100.0 / n_chips) if peak else None
 
+    # ---- full-image render (serving/eval) throughput ------------------
+    render_ms = None
+    if on_tpu:
+        render = engine.make_render_fn(ds.intrinsics, ds.near, ds.far,
+                                       ds.use_ndc)
+        rpose = jnp.asarray(ds.poses[int(ds.val_idx[0])])
+        rstate = engine.init_state(0)
+        out = render(rstate.params, rpose, rstate.aux)
+        float(np.asarray(out["rgb"]).sum())          # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = render(rstate.params, rpose, rstate.aux)
+            float(np.asarray(out["rgb"]).sum())      # host read = sync
+        render_ms = (time.perf_counter() - t0) / 5 * 1e3
+
     # ---- time-to-25dB on this workload (actually train) ---------------
     t25_incl = t25_post = None
     if on_tpu:
@@ -172,6 +187,8 @@ def main() -> None:
                                "= 14.88M samples/s (cell 23); ratio in samples/s",
         "time_to_25db_s": round(t25_incl, 1) if t25_incl else None,
         "time_to_25db_post_compile_s": round(t25_post, 1) if t25_post else None,
+        "render_ms_per_frame_400px": round(render_ms, 1) if render_ms else None,
+        "render_fps_400px": round(1e3 / render_ms, 1) if render_ms else None,
     }
     print(json.dumps(out))
 
