@@ -123,3 +123,45 @@ def test_fused_training_step_converges():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.6 * losses[0], (losses[0], losses[-1])
+
+
+def test_cf_render_path_matches_channels_last():
+    """render_rays through the channels-first composite (apply_cf +
+    raw2outputs_cf) must match the classic channels-last path bitwise-ish
+    on the same parameters — the cf path is a layout change, not a math
+    change."""
+    from nerf_kinematics_tpu.rendering.renderer import render_rays
+
+    e_f, e_u, params = _engines()
+    key = jax.random.PRNGKey(9)
+    n = 33
+    rays_o = jnp.zeros((n, 3)).at[:, 2].set(-2.0)
+    rd = jax.random.normal(key, (n, 3)) * 0.1 + jnp.array([0.0, 0.0, 1.0])
+    rays_d = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    from nerf_kinematics_tpu.rendering.renderer import RenderSettings
+
+    settings = RenderSettings(num_coarse=16, num_fine=16, perturb=False,
+                              merge_hierarchical=False,
+                              white_background=True)
+    cf_c, cf_f = e_f.cf_apply_fns()
+    assert cf_c is not None
+    coarse_cf, fine_cf = render_rays(
+        params, e_f.apply_coarse, rays_o, rays_d, 0.5, 3.5, settings,
+        key=key, apply_fine=e_f.apply_fine, use_viewdirs=True,
+        apply_coarse_cf=cf_c, apply_fine_cf=cf_f,
+    )
+    coarse_cl, fine_cl = render_rays(
+        params, e_u.apply_coarse, rays_o, rays_d, 0.5, 3.5, settings,
+        key=key, apply_fine=e_u.apply_fine, use_viewdirs=True,
+    )
+    for a, b, name in [
+        (coarse_cf.rgb, coarse_cl.rgb, "coarse rgb"),
+        (coarse_cf.weights, coarse_cl.weights, "coarse weights"),
+        (fine_cf.rgb, fine_cl.rgb, "fine rgb"),
+        (fine_cf.depth, fine_cl.depth, "fine depth"),
+        (fine_cf.acc, fine_cl.acc, "fine acc"),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5,
+            err_msg=name,
+        )
