@@ -47,6 +47,10 @@ QUALITY_TARGET_DB = 25.0
 
 
 def main() -> None:
+    from nerf_kinematics_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -39,6 +39,8 @@ def build_parser():
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
 

@@ -79,6 +79,8 @@ def _make_trainer(args):
 
 
 def main(argv=None) -> None:
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.mode is not None:
         print(f"Warning: --mode is no longer in use. It will be ignored. "

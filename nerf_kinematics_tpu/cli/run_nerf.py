@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
 
     from ..train.config import load_config
