@@ -22,27 +22,43 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--samples", type=int, default=1024,
                     help="GT volume-render samples per ray")
+    ap.add_argument("--format", choices=["blender", "llff"], default="blender",
+                    help="on-disk layout: blender transforms JSONs or LLFF "
+                         "poses_bounds.npy (forward-facing rig)")
     ap.add_argument("--force", action="store_true", help="re-render even if cached")
     args = ap.parse_args(argv)
 
-    from ..data.machina import write_machina_dataset
-
     t0 = time.perf_counter()
-    out = write_machina_dataset(
-        args.out,
-        resolution=args.resolution,
-        n_train=args.views,
-        n_val=args.val,
-        n_test=args.test,
-        seed=args.seed,
-        n_samples=args.samples,
-        force=args.force,
-    )
+    if args.format == "llff":
+        from ..data.machina_llff import write_machina_llff_dataset
+
+        out = write_machina_llff_dataset(
+            args.out,
+            resolution=args.resolution,
+            n_views=args.views,
+            seed=args.seed,
+            n_samples=args.samples,
+            force=args.force,
+        )
+        desc = f"{args.views} forward-facing views (LLFF layout)"
+    else:
+        from ..data.machina import write_machina_dataset
+
+        out = write_machina_dataset(
+            args.out,
+            resolution=args.resolution,
+            n_train=args.views,
+            n_val=args.val,
+            n_test=args.test,
+            seed=args.seed,
+            n_samples=args.samples,
+            force=args.force,
+        )
+        desc = f"{args.views} train / {args.val} val / {args.test} test views"
     dt = time.perf_counter() - t0
     print(
-        f"machina dataset at {out}: {args.views} train / {args.val} val / "
-        f"{args.test} test views @ {args.resolution}x{args.resolution} "
-        f"({dt:.1f}s)"
+        f"machina dataset at {out}: {desc} "
+        f"@ {args.resolution}x{args.resolution} ({dt:.1f}s)"
     )
 
 
