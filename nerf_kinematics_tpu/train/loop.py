@@ -96,6 +96,13 @@ class ClassicNerf:
         fused kernel (NGPEngine with ngp.fused)."""
         return None, None
 
+    def resolved_coarse_loss_weight(self) -> float:
+        """nerf.coarse_loss_weight with -1 resolved to the engine default.
+        Classic: 1.0 — the separate coarse network trains only through the
+        coarse term. (NGPEngine overrides the default to 0.0.)"""
+        cw = float(self.cfg.nerf.coarse_loss_weight)
+        return 1.0 if cw < 0.0 else cw
+
     # -- training -----------------------------------------------------------
     def make_train_step(self, intrinsics, near, far, use_ndc: bool, donate: bool = True):
         """Build the jitted train step closed over static scene geometry.
@@ -141,12 +148,17 @@ class ClassicNerf:
                 apply_coarse_cf=cf_coarse,
                 apply_fine_cf=cf_fine,
             )
+            cw = self.resolved_coarse_loss_weight()
             loss_c = jnp.mean((coarse.rgb - target) ** 2)
-            loss = loss_c
             loss_f = loss_c
-            if fine is not None:
+            if fine is None:
+                loss = loss_c
+            else:
                 loss_f = jnp.mean((fine.rgb - target) ** 2)
-                loss = loss + loss_f
+                # cw == 0 makes the coarse pass forward-only (sample_pdf
+                # already stop-gradients its weights), so XLA drops the
+                # coarse backward kernel entirely; loss_c stays a metric.
+                loss = loss_f if cw == 0.0 else cw * loss_c + loss_f
             return loss, (loss_c, loss_f)
 
         def sample_batch(key, images, poses):

@@ -195,6 +195,14 @@ class NGPEngine(ClassicNerf):
             return None, None
         return self.apply_cf, self.apply_cf
 
+    def resolved_coarse_loss_weight(self) -> float:
+        """NGP default 0.0: passes share parameters, so the coarse MSE is a
+        competing blurry objective (measured -2 dB on machina) and its
+        backward kernel is pure cost; the coarse pass still runs forward
+        for importance-sample placement."""
+        cw = float(self.cfg.nerf.coarse_loss_weight)
+        return 0.0 if cw < 0.0 else cw
+
     def _apply(self, params, pts, vd):
         if not self.fused:
             return self.model.apply(params, self._to_unit(pts), vd)
