@@ -17,15 +17,17 @@ def _mlp_fwd(dims) -> int:
     return sum(2 * a * b for a, b in zip(dims[:-1], dims[1:]))
 
 
-def cp_encoder_flops_per_point(cp) -> int:
+def cp_encoder_flops_per_point(cp, trained: bool = True) -> int:
     """Folded-CP encoder (ops/cp_grid.py, ops/cp_grid_pallas.py).
 
     Per level, per axis: a two-hot (1,T)x(T,C) interpolation matmul = 2TC
-    forward. Backward recomputes the three axis interpolations (6TC) and
-    accumulates dlines via (T,B)x(B,C) matmuls (2TC per axis = 6TC).
-    Total = L * (6TC fwd + 12TC bwd) = 18*L*T*C.
+    forward (6TC per level). Useful backward work is the dlines gradient
+    matmuls (another 6TC; the position cotangent is zero by contract).
+    Recompute inside the backward kernel is NOT counted — MFU measures
+    algorithmically necessary work, not rematerialization.
     """
-    return 18 * cp.n_levels * cp.table_size * cp.n_components
+    fwd = 6 * cp.n_levels * cp.table_size * cp.n_components
+    return 2 * fwd if trained else fwd
 
 
 def hash_encoder_flops_per_point(grid) -> int:
@@ -36,10 +38,13 @@ def hash_encoder_flops_per_point(grid) -> int:
     return 3 * 60 * grid.n_levels * grid.n_features
 
 
-def ngp_flops_per_point(ngp) -> int:
-    """NGP model: encoder + density MLP + SH + color MLP, fwd+bwd."""
+def ngp_flops_per_point(ngp, trained: bool = True) -> int:
+    """NGP model: encoder + density MLP + SH + color MLP. ``trained`` =
+    fwd + useful bwd (dW + dx = 2x fwd for the MLPs, dlines for the
+    encoder); False = forward only (the coarse pass when
+    coarse_loss_weight resolves to 0)."""
     if ngp.resolved_encoder() in ("cp", "cp_pallas", "auto"):
-        enc = cp_encoder_flops_per_point(ngp.cp)
+        enc = cp_encoder_flops_per_point(ngp.cp, trained=trained)
         enc_dim = ngp.cp.out_dim
     else:
         enc = hash_encoder_flops_per_point(ngp.grid)
@@ -54,7 +59,7 @@ def ngp_flops_per_point(ngp) -> int:
     mlps_fwd = _mlp_fwd(density_dims) + _mlp_fwd(color_dims)
     sh = 2 * sh_dim  # polynomial eval, ~2 flops/coefficient
     compositing = 100  # alpha/transmittance/accumulation per point
-    return enc + 3 * mlps_fwd + sh + compositing
+    return enc + (3 if trained else 1) * mlps_fwd + sh + compositing
 
 
 def classic_flops_per_point(model_cfg, use_viewdirs: bool = True) -> int:
@@ -77,12 +82,22 @@ def classic_flops_per_point(model_cfg, use_viewdirs: bool = True) -> int:
 
 
 def train_step_flops(cfg, n_rays: int) -> float:
-    """Total training-step FLOPs for ``n_rays`` rays under ``cfg``."""
+    """Total training-step FLOPs for ``n_rays`` rays under ``cfg``.
+
+    Honors coarse_loss_weight: when it resolves to 0 on the NGP engine the
+    coarse pass is forward-only (train/loop.py), so its points are counted
+    at forward cost — analytic MFU stays honest.
+    """
     s = cfg.nerf.train
     points = n_rays * (s.num_coarse + s.num_fine)
     if cfg.engine == "ngp":
-        per_point = ngp_flops_per_point(cfg.ngp)
-        return float(points) * per_point
+        cw = float(cfg.nerf.coarse_loss_weight)
+        coarse_trained = s.num_fine == 0 or (cw != 0.0 and cw >= 0.0)
+        coarse = n_rays * s.num_coarse * ngp_flops_per_point(
+            cfg.ngp, trained=coarse_trained
+        )
+        fine = n_rays * s.num_fine * ngp_flops_per_point(cfg.ngp)
+        return float(coarse + fine)
     # classic: coarse samples through coarse model, coarse+fine through fine.
     per_point = classic_flops_per_point(cfg.model_coarse, cfg.nerf.use_viewdirs)
     coarse_pts = n_rays * s.num_coarse
