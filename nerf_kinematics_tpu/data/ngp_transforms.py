@@ -44,7 +44,10 @@ def normalize_rotations(poses: np.ndarray, warn: bool = True) -> np.ndarray:
 
 def _resolve(json_dir: str, file_path: str):
     """Resolve a frame's file_path: as-given, relative to the JSON, or by
-    basename next to the JSON / in sibling image dirs."""
+    basename next to the JSON / in sibling image dirs. Extension-less paths
+    (the blender transforms_*.json convention, e.g. "./train/r_0") get
+    image extensions appended — matching instant-ngp's nerf_loader, so
+    ``ngp_run`` consumes nerf_synthetic-style datasets directly."""
     candidates = [
         file_path,
         os.path.join(json_dir, file_path),
@@ -53,6 +56,9 @@ def _resolve(json_dir: str, file_path: str):
     ]
     for parent in ("images", "images_robot"):
         candidates.append(os.path.join(json_dir, "..", parent, os.path.basename(file_path)))
+    if not os.path.splitext(file_path)[1]:
+        candidates += [c + ext for c in list(candidates)
+                       for ext in (".png", ".jpg", ".jpeg")]
     for c in candidates:
         if os.path.isfile(c):
             return c
