@@ -87,7 +87,16 @@ def load_transforms_json(path: str, require_images: bool = True):
             resolved = _resolve(json_dir, fr["file_path"])
             if resolved is not None:
                 with Image.open(resolved) as im:
-                    img = np.asarray(im.convert("RGB"), np.float32) / 255.0
+                    if im.mode in ("RGBA", "LA", "PA"):
+                        # Alpha (blender-style synthetic): composite onto
+                        # white — the reference's lego/synthetic convention
+                        # (PIL's convert("RGB") would composite onto black
+                        # and silently bias training against white-bg GT).
+                        rgba = np.asarray(im.convert("RGBA"), np.float32) / 255.0
+                        a = rgba[..., 3:4]
+                        img = rgba[..., :3] * a + (1.0 - a)
+                    else:
+                        img = np.asarray(im.convert("RGB"), np.float32) / 255.0
         if img is None:
             missing += 1
             if require_images:
