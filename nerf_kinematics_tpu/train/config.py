@@ -129,6 +129,7 @@ def config_from_dict(raw: dict) -> Config:
         encode_position_fn=nerf_raw.get("encode_position_fn", "positional_encoding"),
         encode_direction_fn=nerf_raw.get("encode_direction_fn", "positional_encoding"),
         num_random_rays=num_random_rays,
+        coarse_loss_weight=float(nerf_raw.get("coarse_loss_weight", -1.0)),
     )
 
     optimizer = _filtered(OptimizerConfig, raw.get("optimizer", {}))
