@@ -60,6 +60,11 @@ class NGPConfig:
     # (machina A/B: grid 29.1 dB / hull ≈ grid / 1D-projected 27.6 dB);
     # "projected" = 1D axis-projection proxy (cheapest, loosest).
     occ_proposal: str = "hull"
+    # Proposal quadrature: number of uniform depth bins the occupancy PDF is
+    # evaluated on (per ray), and the uniform exploration floor added to the
+    # normalized occupancy weights (fraction of the max-bin weight).
+    occ_bins: int = 64
+    occ_floor: float = 1e-2
     # Incremental maintenance between full sweeps (NGP's steady-state decay
     # + random-subset requery); full sweep every ``occ_full_every`` steps.
     occ_incremental_cells: int = 65536

@@ -64,7 +64,9 @@ def _cell_points(grid: OccupancyGrid, key, from_unit):
     """World-space jittered cell-center points for every cell, (R³, 3)."""
     R = grid.resolution
     lin = (jnp.arange(R) + 0.5) / R  # cell centers in [0, 1]
-    zs, ys, xs = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    # Axis order matters: density is stored [x, y, z] (axis 0 = x) because
+    # every lookup (occupancy_at*, the projections) indexes it that way.
+    xs, ys, zs = jnp.meshgrid(lin, lin, lin, indexing="ij")
     u01 = jnp.stack([xs, ys, zs], -1).reshape(-1, 3)
     jitter = (jax.random.uniform(key, u01.shape) - 0.5) / R
     return from_unit(jnp.clip(u01 + jitter, 0.0, 1.0))
@@ -110,8 +112,9 @@ def update_grid_incremental(
     R = grid.resolution
     k_idx, k_jit = jax.random.split(key)
     idx = jax.random.randint(k_idx, (n_cells,), 0, R * R * R)
-    iz, rem = idx // (R * R), idx % (R * R)
-    iy, ix = rem // R, rem % R
+    # flat = ix*R² + iy*R + iz — the [x, y, z] layout every lookup uses.
+    ix, rem = idx // (R * R), idx % (R * R)
+    iy, iz = rem // R, rem % R
     centers = (jnp.stack([ix, iy, iz], -1).astype(jnp.float32) + 0.5) / R
     jitter = (jax.random.uniform(k_jit, centers.shape) - 0.5) / R
     pts = from_unit(jnp.clip(centers + jitter, 0.0, 1.0))
@@ -332,6 +335,7 @@ def occupancy_sample(
     deterministic: bool = False,
     to_unit: Optional[Callable] = None,
     mode: str = "grid",
+    floor: float = 1e-2,
 ):
     """Occupancy-weighted depth sampling: uniform bins → occupancy PDF →
     inverse-CDF resample. Static shapes throughout. ``mode``: "grid" looks
@@ -343,11 +347,18 @@ def occupancy_sample(
         jnp.linspace(near, far, num_bins + 1, dtype=jnp.float32),
         (n_rays, num_bins + 1),
     )
-    proposal = {
+    proposals = {
+        "grid": occupancy_proposal,
         "projected": occupancy_proposal_projected,
         "hull": occupancy_proposal_hull,
-    }.get(mode, occupancy_proposal)
-    weights = proposal(grid, rays_o, rays_d, bins, to_unit=to_unit)
+    }
+    if mode not in proposals:
+        raise ValueError(
+            f"unknown occupancy proposal mode {mode!r}; expected one of "
+            f"{sorted(proposals)}"
+        )
+    proposal = proposals[mode]
+    weights = proposal(grid, rays_o, rays_d, bins, to_unit=to_unit, floor=floor)
     # stratified_u ⇒ samples come out sorted; no per-ray sort needed.
     return sample_pdf(
         key, bins, weights, num_samples,

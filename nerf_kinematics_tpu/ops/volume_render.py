@@ -93,9 +93,16 @@ def raw2outputs_cf(
 ) -> RenderOutputs:
     """Channels-first :func:`raw2outputs` for the fused-kernel path.
 
-    ``raw4``: (4, R*S) — rgb logit rows 0-2, pre-activation σ row 3, points
-    flattened ray-major (the output contract of
-    ops/ngp_fused_pallas.ngp_fused_apply_cf). Same math as raw2outputs, but
+    ``raw4``: (4, R*S) — rgb logit rows 0-2, row 3 is σ **already
+    exp-activated** by the fused kernel (ops/ngp_fused_pallas._sigma_row),
+    points flattened ray-major (the output contract of
+    ops/ngp_fused_pallas.ngp_fused_apply_cf). Because σ arrives activated,
+    the relu below is a no-op and ``noise_std`` noise is added
+    *post-activation* — a deliberate semantic difference from the classic
+    :func:`raw2outputs`, which perturbs the raw pre-activation density. The
+    fused NGP path trains with noise_std=0, so the difference is inert
+    there; enable noise on the classic path if pre-activation semantics
+    matter. Same math as raw2outputs otherwise, but
     every elementwise op runs on (R, S)- or (3, R, S)-shaped arrays — full
     128-lane tiles — instead of (N, 3)/(N, 4) arrays that use 3-4 lanes
     (measured ~5 ms/step of such ops in the round-2 train-step profile).

@@ -248,8 +248,10 @@ class NGPEngine(ClassicNerf):
         def proposal(key, rays_o, rays_d):
             return occupancy_sample(
                 key, aux, rays_o, rays_d, near, far, settings.num_coarse,
+                num_bins=self.ngp_config.occ_bins,
                 deterministic=not settings.perturb, to_unit=to_unit,
                 mode=self.ngp_config.occ_proposal,
+                floor=self.ngp_config.occ_floor,
             )
 
         return proposal

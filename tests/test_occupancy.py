@@ -145,3 +145,69 @@ def test_hull_pallas_kernel_matches_xla(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
     )
+
+
+def _asym_density(pts):
+    """Off-axis blob at (0.6, -0.2, 0.1): x/z-asymmetric on purpose —
+    regression for the round-2 write/read axis mismatch where density
+    written at (x, y, z) read back at the x/z-mirrored point."""
+    c = jnp.array([0.6, -0.2, 0.1])
+    r = jnp.linalg.norm(pts - c, axis=-1)
+    return jnp.where(r < 0.25, 40.0, 0.0)
+
+
+def test_full_sweep_write_read_axis_order():
+    grid = init_grid(resolution=32, bound=1.0)
+    grid = update_grid(grid, _asym_density, jax.random.PRNGKey(0), decay=0.0)
+    at_blob = jnp.array([[0.6, -0.2, 0.1]])
+    mirrored = jnp.array([[0.1, -0.2, 0.6]])
+    assert float(occupancy_at(grid, at_blob)[0]) > 20.0
+    assert float(occupancy_at(grid, mirrored)[0]) < 1.0
+
+
+def test_incremental_write_read_axis_order():
+    from nerf_kinematics_tpu.ops.occupancy import (
+        occupancy_at_nearest,
+        update_grid_incremental,
+    )
+
+    grid = init_grid(resolution=16, bound=1.0)
+    grid = grid._replace(density=jnp.zeros_like(grid.density))
+    # Query every cell so the scatter covers the blob deterministically.
+    grid = update_grid_incremental(
+        grid, _asym_density, jax.random.PRNGKey(1), n_cells=16 ** 3 * 4,
+        decay=0.0,
+    )
+    at_blob = jnp.array([[0.6, -0.2, 0.1]])
+    mirrored = jnp.array([[0.1, -0.2, 0.6]])
+    assert float(occupancy_at_nearest(grid, at_blob)[0]) > 20.0
+    assert float(occupancy_at_nearest(grid, mirrored)[0]) < 1.0
+
+
+def test_hull_proposal_tracks_asymmetric_blob():
+    """The flagship hull proposal must concentrate samples at the true blob
+    location, not its mirror, for an x/z-asymmetric field."""
+    grid = init_grid(resolution=32, bound=1.0)
+    grid = update_grid(grid, _asym_density, jax.random.PRNGKey(0), decay=0.0)
+    # Ray along +x through the blob's (y, z) = (-0.2, 0.1) line.
+    o = jnp.array([[-2.0, -0.2, 0.1]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    z = occupancy_sample(
+        jax.random.PRNGKey(2), grid, o, d, 1.0, 3.0, 64, mode="hull"
+    )
+    x_hits = (o + d * z[0][:, None])[:, 0]
+    # Blob spans x in [0.35, 0.85]; most samples should land there.
+    frac = float(((x_hits > 0.3) & (x_hits < 0.9)).mean())
+    assert frac > 0.6, frac
+
+
+def test_unknown_proposal_mode_raises():
+    import pytest
+
+    grid = init_grid(resolution=8, bound=1.0)
+    o = jnp.zeros((4, 3))
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1))
+    with pytest.raises(ValueError, match="hulll"):
+        occupancy_sample(
+            jax.random.PRNGKey(0), grid, o, d, 0.1, 2.0, 8, mode="hulll"
+        )
