@@ -32,6 +32,13 @@ import time
 
 # Reference T4 throughput in samples/s: 56.78 steps/s x 2^18 samples/step.
 BASELINE_SAMPLES_PER_SEC = 56.78 * 262_144
+# A100 bracket for the BASELINE.json north-star ("10x A100 rays/sec/chip").
+# instant-ngp's throughput is mixed compute/gather-bound; A100/T4 ratios are
+# ~4.8x on fp16 FLOPs (312/65 TFLOP/s) and ~4.9x on HBM bandwidth
+# (1555/320 GB/s), so 5x the measured T4 number is the defensible estimate
+# of the same workload on an A100 (no public instant-ngp A100 steps/s for
+# this exact scene exists to cite).
+A100_OVER_T4 = 5.0
 # Known bf16 peaks per chip kind (TFLOP/s -> FLOP/s).
 PEAK_FLOPS = {
     "TPU v4": 275e12,
@@ -60,7 +67,10 @@ def main() -> None:
     from nerf_kinematics_tpu.metrics.psnr import psnr
     from nerf_kinematics_tpu.train.config import load_config
     from nerf_kinematics_tpu.train.trainer import Trainer
-    from nerf_kinematics_tpu.utils.flops import train_step_flops
+    from nerf_kinematics_tpu.utils.flops import (
+        train_step_flops,
+        train_step_useful_flops,
+    )
 
     on_tpu = jax.default_backend() == "tpu"
 
@@ -130,6 +140,10 @@ def main() -> None:
     kind = jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(kind)
     mfu_pct = (flops_per_step / step_s / peak * 100.0 / n_chips) if peak else None
+    useful_flops_per_step = train_step_useful_flops(cfg, n_rays)
+    mfu_useful_pct = (
+        useful_flops_per_step / step_s / peak * 100.0 / n_chips
+    ) if peak else None
 
     # ---- full-image render (serving/eval) throughput ------------------
     render_ms = None
@@ -183,7 +197,22 @@ def main() -> None:
         "samples_per_ray": samples_per_ray,
         "step_ms": round(step_s * 1e3, 3),
         "analytic_tflops_per_chip": round(tflops, 2),
-        "mfu_pct": round(mfu_pct, 2) if mfu_pct is not None else None,
+        # Hardware MFU: executed FLOPs (incl. the encoder's structurally
+        # sparse two-hot matmuls) vs chip peak — are the MXUs busy?
+        "mfu_hw_pct": round(mfu_pct, 2) if mfu_pct is not None else None,
+        # Useful MFU: algorithmic FLOPs only (encoder counted at its two
+        # touched rows per level-axis, the gather-implementation cost) —
+        # how much of the chip does the ALGORITHM actually need? The gap is
+        # optimization headroom, not achievement.
+        "mfu_useful_pct": (
+            round(mfu_useful_pct, 2) if mfu_useful_pct is not None else None
+        ),
+        "vs_t4": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC / n_chips, 3),
+        # Position vs the BASELINE.json north-star (10x A100 rays/sec/chip):
+        # A100 estimated at 5x the T4's published steps/s (see A100_OVER_T4).
+        "vs_a100_est": round(
+            samples_per_sec / (A100_OVER_T4 * BASELINE_SAMPLES_PER_SEC) / n_chips, 3
+        ),
         "device_kind": kind,
         "workload": "machina400 (lego-class, 400x400, 100 views)" if on_tpu
                     else "synthetic64 (dev fallback)",
