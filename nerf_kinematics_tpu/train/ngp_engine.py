@@ -274,6 +274,61 @@ class NGPEngine(ClassicNerf):
     # False (model_fine is None) unless num_fine > 0, in which case
     # render_rays falls back to shared-parameter importance sampling.
 
+    def make_fast_render_fn(self, intrinsics, near, far, use_ndc: bool,
+                            settings=None):
+        """Jitted serving-rate renderer (rendering/fast_render.py): shared
+        stride²-block coarse pass + one fused full-image fine pass. Needs
+        the fused kernel and the occupancy proposal (the flagship config);
+        raises otherwise. Signature matches make_render_fn:
+        (params, c2w, aux) → maps dict."""
+        import jax
+
+        from ..cameras.rays import get_rays, ndc_rays
+        from ..rendering.fast_render import (
+            FastRenderSettings,
+            render_image_fast,
+        )
+
+        if not self.fused:
+            raise ValueError("fast render needs the fused kernel (ngp.fused)")
+        if not self.ngp_config.use_occupancy:
+            raise ValueError("fast render needs the occupancy proposal")
+        cfg = self.cfg
+        val = cfg.nerf.validation
+        if settings is None:
+            settings = FastRenderSettings(
+                num_coarse=val.num_coarse,
+                num_fine=val.num_fine or val.num_coarse,
+                white_background=val.white_background,
+            )
+        H, W = intrinsics.height, intrinsics.width
+        prop_settings = val.__class__(
+            num_coarse=settings.num_coarse, perturb=False
+        )
+
+        @jax.jit
+        def render_view(params, c2w, aux):
+            rays_o, rays_d = get_rays(
+                H, W, intrinsics.fl_x, c2w, cx=intrinsics.cx,
+                cy=intrinsics.cy, focal_y=intrinsics.fl_y,
+                dist=getattr(intrinsics, "distortion", None),
+            )
+            viewdirs = rays_d / jnp.linalg.norm(
+                rays_d, axis=-1, keepdims=True
+            )
+            if use_ndc:
+                rays_o, rays_d = ndc_rays(
+                    H, W, intrinsics.fl_x, 1.0, rays_o, rays_d
+                )
+            return render_image_fast(
+                params["coarse"], self.apply_cf, rays_o, rays_d, near, far,
+                settings,
+                proposal_fn=self.proposal_for(aux, near, far, prop_settings),
+                viewdirs=viewdirs,
+            )
+
+        return render_view
+
     def density_grid(self, params, resolution: int = 128):
         """Query σ on a regular grid over the scene AABB — feeds marching
         cubes and the occupancy diagnostics. Returns (R, R, R) densities."""

@@ -1,0 +1,101 @@
+"""Fast-render path tests (rendering/fast_render.py): block layout
+round-trip, PDF conditioning, and end-to-end agreement with the standard
+render on a trained tiny scene (interpret-mode fused kernel on CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_kinematics_tpu.data import make_synthetic_scene
+from nerf_kinematics_tpu.metrics.psnr import psnr
+from nerf_kinematics_tpu.models.ngp import NGPConfig
+from nerf_kinematics_tpu.ops.cp_grid import CPGridConfig
+from nerf_kinematics_tpu.rendering.fast_render import (
+    FastRenderSettings,
+    _blur_floor_pdf,
+)
+from nerf_kinematics_tpu.rendering.renderer import RenderSettings
+from nerf_kinematics_tpu.train.config import Config, ExperimentConfig, NeRFConfig
+from nerf_kinematics_tpu.train.trainer import Trainer
+
+
+def test_blur_floor_pdf_conserves_support():
+    w = jnp.zeros((4, 8)).at[:, 3].set(1.0)
+    out = _blur_floor_pdf(w, blur=True, floor=0.01)
+    out = np.asarray(out)
+    # Blur spreads one bin each way; floor keeps every bin strictly positive.
+    assert out[0, 3] == pytest.approx(0.5, abs=0.02)
+    assert out[0, 2] > 0.2 and out[0, 4] > 0.2
+    assert (out > 0).all()
+
+
+def _ngp_cfg(tmpdir):
+    return Config(
+        engine="ngp",
+        ngp=NGPConfig(
+            encoder="cp_pallas", fused="on",
+            use_occupancy=True, occ_resolution=16, occ_proposal="hull",
+            cp=CPGridConfig(n_levels=2, n_components=8, base_resolution=4,
+                            max_resolution=16, table_size=32),
+            density_width=32, density_layers=2, color_width=32,
+            color_layers=2,
+        ),
+        nerf=NeRFConfig(
+            train=RenderSettings(num_coarse=12, num_fine=12,
+                                 merge_hierarchical=False),
+            validation=RenderSettings(num_coarse=12, num_fine=12,
+                                      perturb=False,
+                                      merge_hierarchical=False),
+            num_random_rays=256,
+        ),
+        experiment=ExperimentConfig(id="fast-render", logdir=tmpdir,
+                                    print_every=0, validate_every=0,
+                                    save_every=0, train_iters=60),
+    )
+
+
+def test_fast_render_matches_standard(tmp_path):
+    """After a short train, the fast path must agree with the standard
+    render to a few dB (same model, same budgets; only sample placement is
+    block-shared) and beat a PSNR floor against ground truth."""
+    ds = make_synthetic_scene(n_views=6, resolution=24)
+    trainer = Trainer(_ngp_cfg(str(tmp_path)), dataset=ds)
+    res = trainer.fit()
+    state = res.state
+
+    vi = int(ds.val_idx[0])
+    pose = jnp.asarray(ds.poses[vi])
+    gt = ds.images[vi]
+
+    std = trainer._render(state.params, pose, state.aux)
+    fast_fn = trainer.engine.make_fast_render_fn(
+        ds.intrinsics, ds.near, ds.far, ds.use_ndc
+    )
+    fast = fast_fn(state.params, pose, state.aux)
+
+    img_std = np.asarray(std["rgb"])
+    img_fast = np.asarray(fast["rgb"])
+    assert img_fast.shape == img_std.shape == (24, 24, 3)
+    assert np.isfinite(img_fast).all()
+    # Same model, same budget: the two renders must be close to each other
+    # (block-shared placement is the only difference)...
+    agree = psnr(img_fast, img_std)
+    assert agree > 25.0, f"fast vs standard render PSNR {agree:.1f}"
+    # ...and the fast render must not cost more than ~1 dB vs ground truth.
+    p_std = psnr(img_std, gt)
+    p_fast = psnr(img_fast, gt)
+    assert p_fast > p_std - 1.0, (p_fast, p_std)
+
+
+def test_fast_render_requires_flagship_features(tmp_path):
+    cfg = _ngp_cfg(str(tmp_path))
+    ds = make_synthetic_scene(n_views=4, resolution=16)
+    t = Trainer(
+        cfg.replace(ngp=dataclasses.replace(cfg.ngp, use_occupancy=False)),
+        dataset=ds,
+    )
+    with pytest.raises(ValueError, match="occupancy"):
+        t.engine.make_fast_render_fn(ds.intrinsics, ds.near, ds.far, False)
