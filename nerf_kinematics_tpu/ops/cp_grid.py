@@ -52,6 +52,17 @@ class CPGridConfig:
     chunk_size: int = 16384
     # bf16 two-hot/line operands (f32 accumulate).
     use_bf16: bool = True
+    # Fold mode for levels finer than the table ("periodic" | "hash").
+    # "periodic" wraps indices mod table_size: cells exactly table_size
+    # apart share a row, so each folded level is a spatially PERIODIC
+    # function — structured aliasing. "hash" maps each cell through an
+    # integer mix (Knuth multiplicative + xor-shift, the instant-ngp
+    # collision principle applied per CP axis) so colliding cells are
+    # pseudo-random instead of periodic. Identical matmul cost: the
+    # two-hot operand is built by iota comparison either way; only the
+    # two target rows per point change. Levels with R < table_size never
+    # fold and are unaffected (they keep the sliced tent rows).
+    fold: str = "periodic"
 
     @property
     def resolutions(self) -> Sequence[int]:
@@ -99,6 +110,46 @@ def init_cp_lines(key, cfg: CPGridConfig, dtype=jnp.float32) -> List[jnp.ndarray
     ]
 
 
+def fold_salt(level: int, axis: int) -> int:
+    """Per-(level, axis) hash salt (decorrelates collision patterns),
+    wrapped to signed int32."""
+    v = ((3 * level + axis + 1) * 374761393) & 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def hash_fold_indices(i0, table: int, salt: int):
+    """Integer cell index → hashed table row, as exact-integer f32.
+
+    ``i0``: f32 array of non-negative integer cell indices. Knuth
+    multiplicative mix + xor-shift in wrapping int32 (identical semantics
+    in XLA, Mosaic, and the numpy reference), then reduced mod ``table``
+    through an exact low-24-bit float path (TPU vector units have no
+    integer divide; f32 holds 24-bit integers exactly, with an off-by-one
+    floor correction for quotient rounding).
+    """
+    h = (i0.astype(jnp.int32) + jnp.int32(salt)) * jnp.int32(-1640531527)
+    h = h ^ (h >> 15)
+    h = h * jnp.int32(-2048144789)
+    h = h ^ (h >> 13)
+    hf = (h & jnp.int32(0xFFFFFF)).astype(jnp.float32)
+    idx = hf - jnp.floor(hf / table) * table
+    return jnp.where(idx < 0, idx + table, idx)
+
+
+def _hash_fold_ref(i0: int, table: int, salt: int) -> int:
+    """Scalar python mirror of :func:`hash_fold_indices` (exact)."""
+
+    def i32(v: int) -> int:
+        v &= 0xFFFFFFFF
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    h = i32((int(i0) + salt) * -1640531527)
+    h = i32(h ^ (h >> 15))
+    h = i32(h * -2048144789)
+    h = i32(h ^ (h >> 13))
+    return (h & 0xFFFFFF) % table
+
+
 def _two_hot_folded(pos: jnp.ndarray, R_eff: int, table: int) -> jnp.ndarray:
     """(N,) positions scaled to an effective resolution ``R_eff`` → (N, table)
     periodic linear-interp rows: 1-w at floor(pos) mod table, w at
@@ -108,6 +159,18 @@ def _two_hot_folded(pos: jnp.ndarray, R_eff: int, table: int) -> jnp.ndarray:
     w = (pos - i0)[:, None]
     idx0 = jnp.mod(i0, table)[:, None]
     idx1 = jnp.mod(i0 + 1.0, table)[:, None]
+    iota = jax.lax.broadcasted_iota(pos.dtype, (1, table), 1)
+    return jnp.where(iota == idx0, 1.0 - w, 0.0) + jnp.where(iota == idx1, w, 0.0)
+
+
+def _two_hot_hashed(pos: jnp.ndarray, R_eff: int, table: int, salt: int) -> jnp.ndarray:
+    """Hash-fold variant of :func:`_two_hot_folded`: same (N, table) two-hot
+    operand, but rows chosen by :func:`hash_fold_indices` of the two cells."""
+    pos = jnp.clip(pos, 0.0, R_eff - 1e-4)
+    i0 = jnp.floor(pos)
+    w = (pos - i0)[:, None]
+    idx0 = hash_fold_indices(i0, table, salt)[:, None]
+    idx1 = hash_fold_indices(i0 + 1.0, table, salt)[:, None]
     iota = jax.lax.broadcasted_iota(pos.dtype, (1, table), 1)
     return jnp.where(iota == idx0, 1.0 - w, 0.0) + jnp.where(iota == idx1, w, 0.0)
 
@@ -135,7 +198,14 @@ def cp_encode(lines: List[jnp.ndarray], x: jnp.ndarray, cfg: CPGridConfig) -> jn
             # (3, m, T) x (3, T, C) → (3, m, C). Interp weights carry no
             # trainable state and point-grads are unused ⇒ stop_gradient
             # keeps the backward pass to pure line-table matmuls.
-            W = _two_hot_folded(pos.T.reshape(-1), R, cfg.table_size)
+            if cfg.fold == "hash" and R >= cfg.table_size:
+                W = jnp.concatenate([
+                    _two_hot_hashed(pos[:, a], R, cfg.table_size,
+                                    fold_salt(l, a))
+                    for a in range(3)
+                ])
+            else:
+                W = _two_hot_folded(pos.T.reshape(-1), R, cfg.table_size)
             W = jax.lax.stop_gradient(W).reshape(3, m, cfg.table_size).astype(wdtype)
             u = jnp.einsum(
                 "amr,arc->amc",
@@ -162,14 +232,19 @@ def cp_encode_ref(lines, x, cfg: CPGridConfig):
     out = np.zeros((x.shape[0], cfg.out_dim))
     for l, R in enumerate(cfg.resolutions):
         tab = np.asarray(lines[l], np.float64)
+        hashed = cfg.fold == "hash" and R >= T
         for i, p in enumerate(x):
             prod = np.ones(cfg.n_components)
             for a in range(3):
                 pos = min(p[a] * R, R - 1e-4)
                 i0 = int(np.floor(pos))
                 w = pos - i0
-                prod = prod * (
-                    (1 - w) * tab[a, i0 % T] + w * tab[a, (i0 + 1) % T]
-                )
+                if hashed:
+                    s = fold_salt(l, a)
+                    r0 = _hash_fold_ref(i0, T, s)
+                    r1 = _hash_fold_ref(i0 + 1, T, s)
+                else:
+                    r0, r1 = i0 % T, (i0 + 1) % T
+                prod = prod * ((1 - w) * tab[a, r0] + w * tab[a, r1])
             out[i, l * cfg.n_components : (l + 1) * cfg.n_components] = prod
     return out

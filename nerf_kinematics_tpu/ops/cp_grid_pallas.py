@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .cp_grid import CPGridConfig
+from .cp_grid import CPGridConfig, fold_salt
 
 DEFAULT_BLOCK = 512  # VMEM-safe; 512 and 1024 measure identically on v5e
 
@@ -61,17 +61,32 @@ def init_stacked_lines(key, cfg: CPGridConfig, dtype=jnp.float32) -> jnp.ndarray
     )
 
 
-def _hat_weights(p, iota_f32, R: int, T: int, wdtype):
+def _hat_weights(p, iota_f32, R: int, T: int, wdtype,
+                 fold: str = "periodic", salt: int = 0):
     """(1, B) positions in level coords → (T, B) interpolation weights.
 
     The periodic two-hot row (1-w at idx0=mod(floor(p),T), w at idx1=
     mod(floor(p)+1,T)) equals the circular tent relu(1 - d(p mod T, t)).
     When the level resolution R fits the table (R < T), indices never wrap
-    and the plain tent suffices.
+    and the plain tent suffices. With ``fold="hash"`` a folded level's two
+    rows come from :func:`cp_grid.hash_fold_indices` instead (pseudo-random
+    collisions rather than periodic aliasing) — built by two iota equality
+    compares at the same (T, B) cost as the tent.
     """
     p = jnp.clip(p, 0.0, R - 1e-4)
     if R < T:
         d = jnp.abs(p - iota_f32)
+    elif fold == "hash":
+        from .cp_grid import hash_fold_indices
+
+        i0 = jnp.floor(p)
+        w = p - i0
+        idx0 = hash_fold_indices(i0, T, salt)
+        idx1 = hash_fold_indices(i0 + 1.0, T, salt)
+        W = jnp.where(iota_f32 == idx0, 1.0 - w, 0.0) + jnp.where(
+            iota_f32 == idx1, w, 0.0
+        )
+        return W.astype(wdtype)
     else:
         pm = jnp.mod(p, float(T))
         d0 = jnp.abs(pm - iota_f32)
@@ -96,7 +111,8 @@ def _fwd_kernel(xt_ref, lines_ref, out_ref, *, cfg: CPGridConfig, wdtype):
         pos = xx * R
         u = []
         for a in range(3):
-            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype)  # (Tl, B)
+            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype,
+                             cfg.fold, fold_salt(l, a))  # (Tl, B)
             u.append(
                 jax.lax.dot_general(
                     W,
@@ -128,7 +144,8 @@ def _bwd_kernel(xt_ref, lines_ref, g_ref, dlines_ref, *, cfg: CPGridConfig, wdty
         pos = xx * R
         Ws, u = [], []
         for a in range(3):
-            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype)
+            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype,
+                             cfg.fold, fold_salt(l, a))
             Ws.append(W)
             u.append(
                 jax.lax.dot_general(

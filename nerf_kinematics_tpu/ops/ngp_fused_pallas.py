@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .cp_grid import CPGridConfig
+from .cp_grid import CPGridConfig, fold_salt
 from .cp_grid_pallas import _hat_weights
 
 # 1024-point blocks measure ~20% faster than 512 at the flagship config on
@@ -103,7 +103,8 @@ def _encode_block_cf(xt, lines_ref, cfg: CPGridConfig, wdtype):
         pos = xx * R
         u = []
         for a in range(3):
-            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype)
+            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype,
+                             cfg.fold, fold_salt(l, a))
             u.append(
                 jax.lax.dot_general(
                     lines_ref[l, a, :Tl, :].astype(wdtype), W, dims,
@@ -221,7 +222,8 @@ def _bwd_kernel(xt_ref, vd_ref, lines_ref, *refs,
         pos = xx * R
         Ws, u = [], []
         for a in range(3):
-            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype)
+            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype,
+                             cfg.fold, fold_salt(l, a))
             Ws.append(W)
             u.append(
                 jax.lax.dot_general(

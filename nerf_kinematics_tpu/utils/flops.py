@@ -20,13 +20,17 @@ def _mlp_fwd(dims) -> int:
 def cp_encoder_flops_per_point(cp, trained: bool = True) -> int:
     """Folded-CP encoder (ops/cp_grid.py, ops/cp_grid_pallas.py).
 
-    Per level, per axis: a two-hot (1,T)x(T,C) interpolation matmul = 2TC
-    forward (6TC per level). Useful backward work is the dlines gradient
-    matmuls (another 6TC; the position cotangent is zero by contract).
+    Per level, per axis: a two-hot (1,Tl)x(Tl,C) interpolation matmul =
+    2·Tl·C forward (6·Tl·C per level), where Tl = level_rows(R) is the
+    SLICED row count the kernel actually contracts (coarse levels touch
+    only R+1 rows — counting the full table here would overstate MFU).
+    Useful backward work is the dlines gradient matmuls (another 6·Tl·C;
+    the position cotangent is zero by contract).
     Recompute inside the backward kernel is NOT counted — MFU measures
     algorithmically necessary work, not rematerialization.
     """
-    fwd = 6 * cp.n_levels * cp.table_size * cp.n_components
+    rows = sum(cp.level_rows(R) for R in cp.resolutions)
+    fwd = 6 * rows * cp.n_components
     return 2 * fwd if trained else fwd
 
 

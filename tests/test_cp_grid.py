@@ -146,3 +146,67 @@ def test_ngp_with_cp_encoder_converges():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.4, (losses[0], losses[-1])
+
+
+def test_hash_fold_matches_scalar_reference():
+    """fold="hash": XLA, Pallas (interpret) and the scalar reference agree,
+    including the exact int32 hash semantics (ops/cp_grid.py
+    hash_fold_indices vs _hash_fold_ref)."""
+    from nerf_kinematics_tpu.ops.cp_grid import (
+        _hash_fold_ref,
+        fold_salt,
+        hash_fold_indices,
+    )
+    from nerf_kinematics_tpu.ops.cp_grid_pallas import (
+        cp_encode_pallas,
+        stack_lines,
+    )
+
+    for salt in [fold_salt(0, 0), fold_salt(4, 2)]:
+        a = np.asarray(
+            hash_fold_indices(jnp.arange(300, dtype=jnp.float32), 16, salt)
+        ).astype(int)
+        b = np.array([_hash_fold_ref(k, 16, salt) for k in range(300)])
+        assert (a == b).all()
+
+    cfg = CPGridConfig(n_levels=3, n_components=4, base_resolution=8,
+                       max_resolution=64, table_size=16, chunk_size=64,
+                       use_bf16=False, fold="hash")
+    lines = init_cp_lines(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (53, 3))
+    ref = cp_encode_ref(lines, x, cfg)
+    np.testing.assert_allclose(np.asarray(cp_encode(lines, x, cfg)), ref,
+                               rtol=1e-4, atol=1e-5)
+    out_p = cp_encode_pallas(stack_lines(lines, cfg), x, cfg, 64, True)
+    np.testing.assert_allclose(np.asarray(out_p), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_hash_fold_continuity():
+    """Hashed folding stays piecewise-linear continuous: the departing
+    row's weight reaches zero exactly at each cell boundary."""
+    cfg = CPGridConfig(n_levels=1, n_components=4, base_resolution=64,
+                       max_resolution=64, table_size=16, chunk_size=256,
+                       use_bf16=False, fold="hash")
+    lines = init_cp_lines(jax.random.PRNGKey(2), cfg)
+    eps = 1e-5
+    t = jnp.linspace(0.02, 0.98, 41)
+    lo = jnp.stack([t - eps] * 3, axis=-1)
+    hi = jnp.stack([t + eps] * 3, axis=-1)
+    a = np.asarray(cp_encode(lines, lo, cfg))
+    b = np.asarray(cp_encode(lines, hi, cfg))
+    np.testing.assert_allclose(a, b, atol=1e-2)
+
+
+def test_hash_fold_gradients_flow():
+    cfg = CPGridConfig(n_levels=2, n_components=4, base_resolution=8,
+                       max_resolution=64, table_size=16, chunk_size=64,
+                       use_bf16=False, fold="hash")
+    lines = init_cp_lines(jax.random.PRNGKey(3), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (32, 3))
+
+    def loss(ls):
+        return (cp_encode(ls, x, cfg) ** 2).sum()
+
+    g = jax.grad(loss)(lines)
+    assert all(np.isfinite(np.asarray(gi)).all() for gi in g)
+    assert any(float(jnp.abs(gi).max()) > 0 for gi in g)

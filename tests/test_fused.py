@@ -165,3 +165,43 @@ def test_cf_render_path_matches_channels_last():
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5,
             err_msg=name,
         )
+
+
+def test_fused_hash_fold_matches_unfused():
+    """fold="hash" through the whole engine pipeline: fused kernel vs the
+    unfused flax module, forward and parameter gradients."""
+    def _hcfg(fused):
+        base = _cfg(fused=fused)
+        return dataclasses.replace(
+            base, cp=dataclasses.replace(base.cp, fold="hash"))
+
+    e_f = NGPEngine(Config(engine="ngp", ngp=_hcfg("on")), scene_bound=1.0)
+    e_u = NGPEngine(Config(engine="ngp", ngp=_hcfg("off")), scene_bound=1.0)
+    params = e_f.init_state(0).params["coarse"]
+    key = jax.random.PRNGKey(7)
+    pts = jax.random.uniform(key, (65, 3), minval=-1.0, maxval=1.0)
+    vd = jax.random.normal(key, (65, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    rgb_f, sig_f = e_f.apply_coarse(params, pts, vd)
+    rgb_u, sig_u = e_u.apply_coarse(params, pts, vd)
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_u),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sig_f), np.asarray(sig_u),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_f(p):
+        r, s = e_f.apply_coarse(p, pts, vd)
+        return (r ** 2).mean() + (s ** 2).mean()
+
+    def loss_u(p):
+        r, s = e_u.apply_coarse(p, pts, vd)
+        return (r ** 2).mean() + (s ** 2).mean()
+
+    gf = jax.grad(loss_f)(params)
+    gu = jax.grad(loss_u)(params)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_u = dict(jax.tree_util.tree_leaves_with_path(gu))
+    for path, leaf in flat_f:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_u[path]), rtol=5e-3, atol=5e-4,
+            err_msg=str(path))
