@@ -63,6 +63,13 @@ class CPGridConfig:
     # two target rows per point change. Levels with R < table_size never
     # fold and are unaffected (they keep the sliced tent rows).
     fold: str = "periodic"
+    # Per-level fold-width cap (0 = off). When set, any level with
+    # R >= fold_cap is folded into min(table_size, fold_cap) rows instead
+    # of the full table — the contraction for that level shrinks to the
+    # capped row count (the tent-row slicing economics applied to FOLDED
+    # levels), while coarser levels keep full capacity. Rows beyond the
+    # cap are dead for that level (zero gradient; storage stays (T, C)).
+    fold_cap: int = 0
 
     @property
     def resolutions(self) -> Sequence[int]:
@@ -91,9 +98,18 @@ class CPGridConfig:
         Contributions from the extra zero rows are exactly 0 — slicing is
         bitwise-identical to the full-table contraction.
         """
+        if self.fold_cap and R >= self.fold_cap:
+            return min(self.table_size, -(-self.fold_cap // 16) * 16)
         if R >= self.table_size:
             return self.table_size
         return min(self.table_size, -(-(R + 1) // 16) * 16)
+
+    def level_fold(self, R: int) -> int:
+        """Fold modulus for level resolution ``R``: 0 if the level never
+        wraps (tent interpolation over R+1 rows), else the row count its
+        indices wrap into (= level_rows)."""
+        rows = self.level_rows(R)
+        return rows if R >= rows else 0
 
     @property
     def n_params(self) -> int:
@@ -150,27 +166,35 @@ def _hash_fold_ref(i0: int, table: int, salt: int) -> int:
     return (h & 0xFFFFFF) % table
 
 
-def _two_hot_folded(pos: jnp.ndarray, R_eff: int, table: int) -> jnp.ndarray:
+def _two_hot_folded(
+    pos: jnp.ndarray, R_eff: int, table: int, modulus: int = 0
+) -> jnp.ndarray:
     """(N,) positions scaled to an effective resolution ``R_eff`` → (N, table)
-    periodic linear-interp rows: 1-w at floor(pos) mod table, w at
-    (floor(pos)+1) mod table. Built by iota comparison — pure VPU."""
+    periodic linear-interp rows: 1-w at floor(pos) mod m, w at
+    (floor(pos)+1) mod m, where m = ``modulus`` or ``table`` (fold_cap can
+    wrap a level into fewer rows than the stored table). Built by iota
+    comparison — pure VPU."""
+    m = modulus or table
     pos = jnp.clip(pos, 0.0, R_eff - 1e-4)
     i0 = jnp.floor(pos)
     w = (pos - i0)[:, None]
-    idx0 = jnp.mod(i0, table)[:, None]
-    idx1 = jnp.mod(i0 + 1.0, table)[:, None]
+    idx0 = jnp.mod(i0, m)[:, None]
+    idx1 = jnp.mod(i0 + 1.0, m)[:, None]
     iota = jax.lax.broadcasted_iota(pos.dtype, (1, table), 1)
     return jnp.where(iota == idx0, 1.0 - w, 0.0) + jnp.where(iota == idx1, w, 0.0)
 
 
-def _two_hot_hashed(pos: jnp.ndarray, R_eff: int, table: int, salt: int) -> jnp.ndarray:
+def _two_hot_hashed(
+    pos: jnp.ndarray, R_eff: int, table: int, modulus: int, salt: int
+) -> jnp.ndarray:
     """Hash-fold variant of :func:`_two_hot_folded`: same (N, table) two-hot
-    operand, but rows chosen by :func:`hash_fold_indices` of the two cells."""
+    operand, but rows chosen by :func:`hash_fold_indices` of the two cells
+    (wrapped into ``modulus`` ≤ ``table`` rows — the level's fold width)."""
     pos = jnp.clip(pos, 0.0, R_eff - 1e-4)
     i0 = jnp.floor(pos)
     w = (pos - i0)[:, None]
-    idx0 = hash_fold_indices(i0, table, salt)[:, None]
-    idx1 = hash_fold_indices(i0 + 1.0, table, salt)[:, None]
+    idx0 = hash_fold_indices(i0, modulus, salt)[:, None]
+    idx1 = hash_fold_indices(i0 + 1.0, modulus, salt)[:, None]
     iota = jax.lax.broadcasted_iota(pos.dtype, (1, table), 1)
     return jnp.where(iota == idx0, 1.0 - w, 0.0) + jnp.where(iota == idx1, w, 0.0)
 
@@ -198,14 +222,15 @@ def cp_encode(lines: List[jnp.ndarray], x: jnp.ndarray, cfg: CPGridConfig) -> jn
             # (3, m, T) x (3, T, C) → (3, m, C). Interp weights carry no
             # trainable state and point-grads are unused ⇒ stop_gradient
             # keeps the backward pass to pure line-table matmuls.
-            if cfg.fold == "hash" and R >= cfg.table_size:
+            F = cfg.level_fold(R)
+            if cfg.fold == "hash" and F:
                 W = jnp.concatenate([
-                    _two_hot_hashed(pos[:, a], R, cfg.table_size,
+                    _two_hot_hashed(pos[:, a], R, cfg.table_size, F,
                                     fold_salt(l, a))
                     for a in range(3)
                 ])
             else:
-                W = _two_hot_folded(pos.T.reshape(-1), R, cfg.table_size)
+                W = _two_hot_folded(pos.T.reshape(-1), R, cfg.table_size, F)
             W = jax.lax.stop_gradient(W).reshape(3, m, cfg.table_size).astype(wdtype)
             u = jnp.einsum(
                 "amr,arc->amc",
@@ -232,7 +257,9 @@ def cp_encode_ref(lines, x, cfg: CPGridConfig):
     out = np.zeros((x.shape[0], cfg.out_dim))
     for l, R in enumerate(cfg.resolutions):
         tab = np.asarray(lines[l], np.float64)
-        hashed = cfg.fold == "hash" and R >= T
+        F = cfg.level_fold(R)
+        m = F or T
+        hashed = cfg.fold == "hash" and F
         for i, p in enumerate(x):
             prod = np.ones(cfg.n_components)
             for a in range(3):
@@ -241,10 +268,10 @@ def cp_encode_ref(lines, x, cfg: CPGridConfig):
                 w = pos - i0
                 if hashed:
                     s = fold_salt(l, a)
-                    r0 = _hash_fold_ref(i0, T, s)
-                    r1 = _hash_fold_ref(i0 + 1, T, s)
+                    r0 = _hash_fold_ref(i0, m, s)
+                    r1 = _hash_fold_ref(i0 + 1, m, s)
                 else:
-                    r0, r1 = i0 % T, (i0 + 1) % T
+                    r0, r1 = i0 % m, (i0 + 1) % m
                 prod = prod * ((1 - w) * tab[a, r0] + w * tab[a, r1])
             out[i, l * cfg.n_components : (l + 1) * cfg.n_components] = prod
     return out

@@ -61,36 +61,38 @@ def init_stacked_lines(key, cfg: CPGridConfig, dtype=jnp.float32) -> jnp.ndarray
     )
 
 
-def _hat_weights(p, iota_f32, R: int, T: int, wdtype,
+def _hat_weights(p, iota_f32, R: int, F: int, wdtype,
                  fold: str = "periodic", salt: int = 0):
-    """(1, B) positions in level coords → (T, B) interpolation weights.
+    """(1, B) positions in level coords → (rows, B) interpolation weights.
 
-    The periodic two-hot row (1-w at idx0=mod(floor(p),T), w at idx1=
-    mod(floor(p)+1,T)) equals the circular tent relu(1 - d(p mod T, t)).
-    When the level resolution R fits the table (R < T), indices never wrap
-    and the plain tent suffices. With ``fold="hash"`` a folded level's two
-    rows come from :func:`cp_grid.hash_fold_indices` instead (pseudo-random
-    collisions rather than periodic aliasing) — built by two iota equality
-    compares at the same (T, B) cost as the tent.
+    ``F`` is the level's fold modulus (``CPGridConfig.level_fold``): 0 means
+    the level never wraps (rows ≥ R+1) and the plain tent
+    relu(1 - |p - t|) suffices. F > 0 wraps indices into F rows: the
+    periodic two-hot row (1-w at idx0=mod(floor(p),F), w at
+    idx1=mod(floor(p)+1,F)) equals the circular tent
+    relu(1 - circ_dist(p mod F, t)). With ``fold="hash"`` the two rows come
+    from :func:`cp_grid.hash_fold_indices` instead (pseudo-random collisions
+    rather than periodic aliasing) — built by two iota equality compares at
+    the same (rows, B) cost as the tent.
     """
     p = jnp.clip(p, 0.0, R - 1e-4)
-    if R < T:
+    if F == 0:
         d = jnp.abs(p - iota_f32)
     elif fold == "hash":
         from .cp_grid import hash_fold_indices
 
         i0 = jnp.floor(p)
         w = p - i0
-        idx0 = hash_fold_indices(i0, T, salt)
-        idx1 = hash_fold_indices(i0 + 1.0, T, salt)
+        idx0 = hash_fold_indices(i0, F, salt)
+        idx1 = hash_fold_indices(i0 + 1.0, F, salt)
         W = jnp.where(iota_f32 == idx0, 1.0 - w, 0.0) + jnp.where(
             iota_f32 == idx1, w, 0.0
         )
         return W.astype(wdtype)
     else:
-        pm = jnp.mod(p, float(T))
+        pm = jnp.mod(p, float(F))
         d0 = jnp.abs(pm - iota_f32)
-        d = jnp.minimum(d0, float(T) - d0)
+        d = jnp.minimum(d0, float(F) - d0)
     return jnp.maximum(1.0 - d, 0.0).astype(wdtype)
 
 
@@ -111,7 +113,7 @@ def _fwd_kernel(xt_ref, lines_ref, out_ref, *, cfg: CPGridConfig, wdtype):
         pos = xx * R
         u = []
         for a in range(3):
-            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype,
+            W = _hat_weights(pos[a : a + 1], iota, R, cfg.level_fold(R), wdtype,
                              cfg.fold, fold_salt(l, a))  # (Tl, B)
             u.append(
                 jax.lax.dot_general(
@@ -144,7 +146,7 @@ def _bwd_kernel(xt_ref, lines_ref, g_ref, dlines_ref, *, cfg: CPGridConfig, wdty
         pos = xx * R
         Ws, u = [], []
         for a in range(3):
-            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype,
+            W = _hat_weights(pos[a : a + 1], iota, R, cfg.level_fold(R), wdtype,
                              cfg.fold, fold_salt(l, a))
             Ws.append(W)
             u.append(

@@ -103,7 +103,7 @@ def _encode_block_cf(xt, lines_ref, cfg: CPGridConfig, wdtype):
         pos = xx * R
         u = []
         for a in range(3):
-            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype,
+            W = _hat_weights(pos[a : a + 1], iota, R, cfg.level_fold(R), wdtype,
                              cfg.fold, fold_salt(l, a))
             u.append(
                 jax.lax.dot_general(
@@ -222,7 +222,7 @@ def _bwd_kernel(xt_ref, vd_ref, lines_ref, *refs,
         pos = xx * R
         Ws, u = [], []
         for a in range(3):
-            W = _hat_weights(pos[a : a + 1], iota, R, T, wdtype,
+            W = _hat_weights(pos[a : a + 1], iota, R, cfg.level_fold(R), wdtype,
                              cfg.fold, fold_salt(l, a))
             Ws.append(W)
             u.append(

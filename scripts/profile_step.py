@@ -63,6 +63,8 @@ def main():
     ap.add_argument("--fine", type=int, default=48)
     ap.add_argument("--fused", default=None, choices=["auto", "on", "off"],
                     help="override ngp.fused for A/B")
+    ap.add_argument("--fold", default=None, choices=["periodic", "hash"])
+    ap.add_argument("--table", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -86,6 +88,13 @@ def main():
     ), experiment=dataclasses.replace(cfg.experiment, logdir="/tmp/prof_logs"))
     if args.fused:
         cfg = cfg.replace(ngp=dataclasses.replace(cfg.ngp, fused=args.fused))
+    if args.fold or args.table:
+        cp = dataclasses.replace(
+            cfg.ngp.cp,
+            **({"fold": args.fold} if args.fold else {}),
+            **({"table_size": args.table} if args.table else {}),
+        )
+        cfg = cfg.replace(ngp=dataclasses.replace(cfg.ngp, cp=cp))
 
     ds = make_synthetic_scene(n_views=12, resolution=100)
     trainer = Trainer(cfg, dataset=ds)

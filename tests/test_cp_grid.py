@@ -210,3 +210,39 @@ def test_hash_fold_gradients_flow():
     g = jax.grad(loss)(lines)
     assert all(np.isfinite(np.asarray(gi)).all() for gi in g)
     assert any(float(jnp.abs(gi).max()) > 0 for gi in g)
+
+
+def test_fold_cap_parity_and_rows():
+    """fold_cap wraps only levels with R >= cap into the capped row count;
+    XLA / Pallas / scalar reference stay in exact agreement, coarse levels
+    are untouched, and level_rows reflects the capped contraction size."""
+    from nerf_kinematics_tpu.ops.cp_grid_pallas import (
+        cp_encode_pallas,
+        stack_lines,
+    )
+
+    base = dict(n_levels=4, n_components=4, base_resolution=8,
+                max_resolution=128, table_size=48, chunk_size=64,
+                use_bf16=False)
+    cfg = CPGridConfig(**base, fold="hash", fold_cap=32)
+    # resolutions 8, 20, 51, 128 -> rows 16, 32, 32, 32 (capped at 32)
+    rows = [cfg.level_rows(R) for R in cfg.resolutions]
+    assert rows == [16, 32, 32, 32], rows
+    assert [cfg.level_fold(R) for R in cfg.resolutions] == [0, 0, 32, 32]
+
+    lines = init_cp_lines(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (41, 3))
+    ref = cp_encode_ref(lines, x, cfg)
+    np.testing.assert_allclose(np.asarray(cp_encode(lines, x, cfg)), ref,
+                               rtol=1e-4, atol=1e-5)
+    out_p = cp_encode_pallas(stack_lines(lines, cfg), x, cfg, 64, True)
+    np.testing.assert_allclose(np.asarray(out_p), ref, rtol=1e-4, atol=1e-5)
+
+    # Periodic fold_cap too.
+    cfg_p = CPGridConfig(**base, fold="periodic", fold_cap=32)
+    lines_p = init_cp_lines(jax.random.PRNGKey(2), cfg_p)
+    ref_p = cp_encode_ref(lines_p, x, cfg_p)
+    np.testing.assert_allclose(np.asarray(cp_encode(lines_p, x, cfg_p)),
+                               ref_p, rtol=1e-4, atol=1e-5)
+    out_pp = cp_encode_pallas(stack_lines(lines_p, cfg_p), x, cfg_p, 64, True)
+    np.testing.assert_allclose(np.asarray(out_pp), ref_p, rtol=1e-4, atol=1e-5)
