@@ -86,6 +86,10 @@ class NGPConfig:
     # cp_pallas encoder is active; "on"/"off" force it. Training-path only
     # (density sweeps and mesh export use the unfused module).
     fused: str = "auto"
+    # Point-block width of the fused kernel (0 = ops/ngp_fused_pallas
+    # DEFAULT_BLOCK). Bigger blocks amortize per-block weight loads but
+    # grow the backward kernel's VMEM residency with the table size.
+    fused_block: int = 0
 
     @classmethod
     def from_cfg(cls, d: dict) -> "NGPConfig":

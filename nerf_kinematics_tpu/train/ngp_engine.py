@@ -181,11 +181,12 @@ class NGPEngine(ClassicNerf):
     def apply_cf(self, params, pts, vd):
         """Channels-first fused entry for the renderer hot path:
         (params, pts (..., 3), vd) → (4, N) rgbσ (see raw2outputs_cf)."""
-        from ..ops.ngp_fused_pallas import ngp_fused_apply_cf
+        from ..ops.ngp_fused_pallas import DEFAULT_BLOCK, ngp_fused_apply_cf
 
         xt, vdt = self._cf_inputs(pts, vd)
         return ngp_fused_apply_cf(
             self._fused_params(params), xt, vdt, self.ngp_config.cp,
+            self.ngp_config.fused_block or DEFAULT_BLOCK,
             interpret=jax.default_backend() != "tpu",
         )
 
@@ -206,7 +207,7 @@ class NGPEngine(ClassicNerf):
     def _apply(self, params, pts, vd):
         if not self.fused:
             return self.model.apply(params, self._to_unit(pts), vd)
-        from ..ops.ngp_fused_pallas import ngp_fused_apply
+        from ..ops.ngp_fused_pallas import DEFAULT_BLOCK, ngp_fused_apply
 
         x = jax.lax.stop_gradient(self._to_unit(pts))
         if vd is None:
@@ -214,6 +215,7 @@ class NGPEngine(ClassicNerf):
         return ngp_fused_apply(
             self._fused_params(params), x, jax.lax.stop_gradient(vd),
             self.ngp_config.cp,
+            self.ngp_config.fused_block or DEFAULT_BLOCK,
             interpret=jax.default_backend() != "tpu",
         )
 
