@@ -26,6 +26,8 @@ def main() -> None:
     ap.add_argument("--coarse", type=int, default=None)
     ap.add_argument("--fine", type=int, default=None)
     ap.add_argument("--no-blur", action="store_true")
+    ap.add_argument("--fg", type=float, default=1.0,
+                    help="fg_fraction: top-K opaque blocks get the fine pass")
     ap.add_argument("--frames", type=int, default=24)
     args = ap.parse_args()
 
@@ -79,6 +81,7 @@ def main() -> None:
         num_fine=args.fine or val.num_fine or val.num_coarse,
         stride=args.stride,
         pdf_blur=not args.no_blur,
+        fg_fraction=args.fg,
         white_background=val.white_background,
     )
     fast = trainer.engine.make_fast_render_fn(
@@ -96,7 +99,8 @@ def main() -> None:
         "fast_psnr_gt": round(float(psnr(img_fast, gt)), 2),
         "fast_vs_std_psnr": round(float(psnr(img_fast, img_std)), 2),
         "settings": {"stride": fs.stride, "coarse": fs.num_coarse,
-                     "fine": fs.num_fine, "blur": fs.pdf_blur},
+                     "fine": fs.num_fine, "blur": fs.pdf_blur,
+                     "fg": fs.fg_fraction},
     }))
 
 

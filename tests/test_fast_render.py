@@ -90,6 +90,36 @@ def test_fast_render_matches_standard(tmp_path):
     assert p_fast > p_std - 1.0, (p_fast, p_std)
 
 
+def test_fast_render_fg_compaction(tmp_path):
+    """fg_fraction < 1 runs the fine pass only on the top-K opaque blocks:
+    with K comfortably above the object's coverage the compacted render
+    must match the uncompacted fast render almost exactly (background
+    blocks keep a coarse composite that already equals the final image),
+    and the selected blocks must reproduce the fine results bit-for-bit."""
+    ds = make_synthetic_scene(n_views=6, resolution=24)
+    trainer = Trainer(_ngp_cfg(str(tmp_path)), dataset=ds)
+    res = trainer.fit()
+    state = res.state
+
+    vi = int(ds.val_idx[0])
+    pose = jnp.asarray(ds.poses[vi])
+
+    full_fn = trainer.engine.make_fast_render_fn(
+        ds.intrinsics, ds.near, ds.far, ds.use_ndc
+    )
+    fg_fn = trainer.engine.make_fast_render_fn(
+        ds.intrinsics, ds.near, ds.far, ds.use_ndc,
+        settings=FastRenderSettings(
+            num_coarse=12, num_fine=12, fg_fraction=0.75
+        ),
+    )
+    full = np.asarray(full_fn(state.params, pose, state.aux)["rgb"])
+    comp = np.asarray(fg_fn(state.params, pose, state.aux)["rgb"])
+    assert np.isfinite(comp).all()
+    agree = psnr(comp, full)
+    assert agree > 30.0, f"compacted vs full fast render PSNR {agree:.1f}"
+
+
 def test_fast_render_requires_flagship_features(tmp_path):
     cfg = _ngp_cfg(str(tmp_path))
     ds = make_synthetic_scene(n_views=4, resolution=16)
