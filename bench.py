@@ -171,9 +171,10 @@ def main() -> None:
         sustained_ms = (time.perf_counter() - t0) / 16 * 1e3
 
         # Serving recipe measured iso-quality on machina400 (scripts/
-        # fast_render_bench.py): contrast-scored foreground compaction at
-        # fg=0.35 renders 34.64 dB vs the standard render's 34.53 —
-        # within 0.1 dB (above, in fact) at ~2x the sustained fps.
+        # fast_render_bench.py, logs/sweeps/fast_render_fg_r3.log):
+        # contrast-scored foreground compaction at fg=0.35 with the saved
+        # fine budget re-spent on depth (fine 48->64) renders 35.88 dB vs
+        # the standard render's 35.86 at ~2x the sustained fps.
         from nerf_kinematics_tpu.rendering.fast_render import (
             FastRenderSettings,
         )
@@ -183,7 +184,7 @@ def main() -> None:
             ds.intrinsics, ds.near, ds.far, ds.use_ndc,
             settings=FastRenderSettings(
                 num_coarse=val.num_coarse,
-                num_fine=val.num_fine or val.num_coarse,
+                num_fine=64,
                 fg_fraction=0.35,
                 white_background=val.white_background,
             ),
