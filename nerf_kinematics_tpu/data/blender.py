@@ -35,6 +35,41 @@ def _load_split(basedir: str, split: str, skip: int):
     return np.stack(imgs), np.stack(poses), float(meta["camera_angle_x"])
 
 
+def _pose_spherical(theta_deg: float, phi_deg: float, radius: float) -> np.ndarray:
+    """c2w on a sphere looking at the origin — the blender-dataset
+    novel-view path convention (nerf-pytorch load_blender_data's
+    pose_spherical; the reference trains lego-lowres3 with this video
+    path). OpenGL-style camera (x right, y up, z back)."""
+    t, p = np.deg2rad(theta_deg), np.deg2rad(phi_deg)
+    c2w = np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, radius], [0, 0, 0, 1]],
+        np.float32,
+    )
+    rot_phi = np.array(
+        [[1, 0, 0, 0],
+         [0, np.cos(p), -np.sin(p), 0],
+         [0, np.sin(p), np.cos(p), 0],
+         [0, 0, 0, 1]], np.float32,
+    )
+    rot_theta = np.array(
+        [[np.cos(t), 0, -np.sin(t), 0],
+         [0, 1, 0, 0],
+         [np.sin(t), 0, np.cos(t), 0],
+         [0, 0, 0, 1]], np.float32,
+    )
+    flip = np.array(
+        [[-1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+        np.float32,
+    )
+    return flip @ rot_theta @ rot_phi @ c2w
+
+
+def _spherical_render_path(near: float, far: float, n: int = 40) -> np.ndarray:
+    radius = 0.5 * (near + far)
+    thetas = np.linspace(-180.0, 180.0, n + 1)[:-1]
+    return np.stack([_pose_spherical(t, -30.0, radius) for t in thetas])
+
+
 def load_blender(cfg, white_background: bool = False) -> NerfDataset:
     """Load a nerf_synthetic-format dataset.
 
@@ -87,4 +122,5 @@ def load_blender(cfg, white_background: bool = False) -> NerfDataset:
         val_idx=idx_of.get("val", np.zeros(0, np.int64)),
         test_idx=idx_of.get("test", np.zeros(0, np.int64)),
         use_ndc=False,
+        render_poses=_spherical_render_path(float(cfg.near), float(cfg.far)),
     )

@@ -103,6 +103,20 @@ def test_blender_loader_synthetic_fixture(tmp_path):
     ds2 = load_dataset(cfg2)
     assert ds2.images.shape == (3, 8, 8, 3)
     assert ds2.intrinsics.focal == pytest.approx(ds.intrinsics.focal / 2)
+    # Novel-view path: 40 spherical orbit poses (nerf-pytorch pose_spherical
+    # convention), valid rotations, cameras on a radius-(near+far)/2 sphere
+    # looking at the origin.
+    rp = ds.render_poses
+    assert rp is not None and rp.shape == (40, 4, 4)
+    R, t = rp[:, :3, :3], rp[:, :3, 3]
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.einsum("nij,nkj->nik", R, R), np.tile(np.eye(3), (40, 1, 1)), atol=1e-5
+    )
+    np.testing.assert_allclose(np.linalg.norm(t, axis=-1), 4.0, atol=1e-5)
+    # OpenGL camera: -z axis (view direction) points at the origin.
+    view = -R[:, :, 2]
+    np.testing.assert_allclose(view * 4.0, -t, atol=1e-4)
 
 
 def test_llff_loader_fixture(tmp_path):

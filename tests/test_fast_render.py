@@ -120,6 +120,27 @@ def test_fast_render_fg_compaction(tmp_path):
     assert agree > 30.0, f"compacted vs full fast render PSNR {agree:.1f}"
 
 
+def test_cli_render_video_fast(tmp_path, capsys):
+    """run_nerf --render-video --fast end to end: trains a tiny NGP scene,
+    renders the dataset's novel-view path through the serving recipe, writes
+    frames + reports fps."""
+    import os
+
+    from nerf_kinematics_tpu.cli.run_nerf import _render_video
+
+    ds = make_synthetic_scene(n_views=6, resolution=24)
+    ds = dataclasses.replace(ds, render_poses=np.asarray(ds.poses[:3]))
+    trainer = Trainer(_ngp_cfg(str(tmp_path)), dataset=ds)
+    res = trainer.fit()
+
+    _render_video(trainer, res.state, fast=True)
+    out = capsys.readouterr().out
+    assert "fps render [fast]" in out
+    vdir = os.path.join(trainer.rundir, "video")
+    frames = [f for f in os.listdir(vdir) if f.endswith(".png")]
+    assert len(frames) == 3
+
+
 def test_fast_render_requires_flagship_features(tmp_path):
     cfg = _ngp_cfg(str(tmp_path))
     ds = make_synthetic_scene(n_views=4, resolution=16)
