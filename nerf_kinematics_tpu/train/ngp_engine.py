@@ -336,7 +336,11 @@ class NGPEngine(ClassicNerf):
         cubes and the occupancy diagnostics. Returns (R, R, R) densities."""
         b = self.scene_bound
         lin = jnp.linspace(-b, b, resolution)
-        zs, ys, xs = jnp.meshgrid(lin, lin, lin, indexing="ij")
+        # Axis order contract: grid[i, j, k] = sigma(x=lin[i], y=lin[j],
+        # z=lin[k]) — both mesh extractors ((x*ny + y)*nz + z in
+        # native/mesh_extract.cpp and the numpy fallback) place vertex x
+        # along axis 0. meshgrid('ij') output n varies along axis n.
+        xs, ys, zs = jnp.meshgrid(lin, lin, lin, indexing="ij")
         pts = jnp.stack([xs, ys, zs], axis=-1).reshape(-1, 3)
 
         def chunk_density(p):

@@ -102,3 +102,43 @@ def test_engine_to_mesh(tmp_path):
     import os
 
     assert os.path.getsize(path) > 100
+
+
+def test_density_grid_axis_order(monkeypatch):
+    """density_grid must store sigma(x, y, z) at grid[ix, iy, iz] — the
+    layout both mesh extractors assume ((x*ny + y)*nz + z). Regression for
+    the x/z transposition: a density that varies only along world x must
+    vary only along axis 0 of the returned volume."""
+    from nerf_kinematics_tpu.models.ngp import NGPConfig, NGPModel
+    from nerf_kinematics_tpu.ops.cp_grid import CPGridConfig
+    from nerf_kinematics_tpu.train.config import Config
+    from nerf_kinematics_tpu.train.ngp_engine import NGPEngine
+
+    cfg = Config(
+        engine="ngp",
+        ngp=NGPConfig(
+            encoder="cp",
+            cp=CPGridConfig(n_levels=2, n_components=4, base_resolution=8,
+                            max_resolution=16, table_size=16),
+            density_width=16, density_layers=2, color_width=16, color_layers=2,
+        ),
+    )
+    engine = NGPEngine(cfg, scene_bound=1.0)
+    state = engine.init_state(0)
+    # Density = the unit-cube x coordinate (engine maps world->unit first).
+    monkeypatch.setattr(NGPModel, "density", lambda self, xyz: (xyz[..., 0], None))
+    grid = np.asarray(engine.density_grid(state.params, resolution=8))
+    lin01 = np.linspace(0.0, 1.0, 8)  # unit-cube x of the queried lattice
+    np.testing.assert_allclose(grid, lin01[:, None, None] * np.ones((8, 8, 8)),
+                               atol=1e-6)
+
+
+def test_asymmetric_blob_mesh_position():
+    """End-to-end axis check the sphere goldens cannot see: a blob centered
+    at world (+0.6, 0, -0.2) must produce mesh vertices centered there."""
+    lin = np.linspace(-1, 1, 32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    grid = 0.25 - np.sqrt((x - 0.6) ** 2 + y**2 + (z + 0.2) ** 2)
+    verts, tris = extract_mesh(grid, iso=0.0, bounds=(-1, -1, -1, 1, 1, 1))
+    assert len(verts) > 100
+    np.testing.assert_allclose(verts.mean(0), [0.6, 0.0, -0.2], atol=0.02)
