@@ -53,7 +53,39 @@ DATASET_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 QUALITY_TARGET_DB = 25.0
 
 
+def _probe_backend(timeout_s: float = 150.0) -> bool:
+    """True if the accelerator backend initializes within ``timeout_s``.
+
+    The remote-chip (axon) backend can wedge: jax.devices() then hangs
+    forever instead of erroring, which would hang this whole benchmark.
+    Probe in a subprocess with a hard timeout; on failure fall back to the
+    CPU dev path (clearly labeled in the output) instead of hanging.
+    """
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def main() -> None:
+    if not _probe_backend():
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        print("bench: accelerator backend unreachable (probe timed out); "
+              "falling back to CPU dev path", flush=True)
+
     from nerf_kinematics_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
