@@ -123,6 +123,7 @@ def _render_video(trainer, state, fast: bool = False):
     import jax.numpy as jnp
 
     render = trainer._render
+    render_settings = None
     if fast:
         # Serving recipe (measured iso-PSNR on machina400 — see
         # logs/sweeps/fast_render_fg_r3.log): compaction savings re-spent
@@ -133,14 +134,15 @@ def _render_video(trainer, state, fast: bool = False):
         val = trainer.cfg.nerf.validation
         if not hasattr(trainer.engine, "make_fast_render_fn"):
             raise SystemExit("--fast needs the NGP engine (engine: ngp)")
+        render_settings = FastRenderSettings(
+            num_coarse=val.num_coarse,
+            num_fine=64,
+            fg_fraction=0.35,
+            white_background=val.white_background,
+        )
         render = trainer.engine.make_fast_render_fn(
             ds.intrinsics, ds.near, ds.far, ds.use_ndc,
-            settings=FastRenderSettings(
-                num_coarse=val.num_coarse,
-                num_fine=64,
-                fg_fraction=0.35,
-                white_background=val.white_background,
-            ),
+            settings=render_settings,
         )
 
     # Pipelined dispatch (all frames in flight, one sync) — the serving
@@ -151,15 +153,39 @@ def _render_video(trainer, state, fast: bool = False):
     # frame is synced by a HOST READ: on the axon backend
     # block_until_ready returns before compilation fully lands, which
     # would charge residual compile to the first timed frames.
-    dposes = [jnp.asarray(np.asarray(p)) for p in poses]
-    jax.block_until_ready(dposes)
-    float(np.asarray(render(state.params, dposes[0], state.aux)["rgb"]).sum())
-    t0 = time.perf_counter()
-    outs = [render(state.params, p, state.aux)["rgb"] for p in dposes]
-    jax.block_until_ready(outs)
-    float(np.asarray(outs[-1]).sum())  # full host sync (remote-chip safe)
-    dt = time.perf_counter() - t0
     n = len(poses)
+    if fast and trainer.mesh is not None:
+        # Multi-device serving: frames sharded over the mesh (pad the pose
+        # batch to a device-count multiple; padded frames are discarded).
+        nd = len(trainer.mesh.devices.reshape(-1))
+        pad = (-n) % nd
+        pose_arr = np.concatenate(
+            [np.asarray(poses)] + [np.asarray(poses)[-1:]] * pad
+        )
+        batch = trainer.engine.make_fast_render_batch(
+            ds.intrinsics, ds.near, ds.far, ds.use_ndc,
+            settings=render_settings,
+        )
+        dposes_b = jnp.asarray(pose_arr)
+        float(np.asarray(
+            batch(state.params, dposes_b, state.aux)["rgb"]
+        ).sum())  # warmup incl. compile (host-read sync)
+        t0 = time.perf_counter()
+        out_b = batch(state.params, dposes_b, state.aux)["rgb"]
+        float(np.asarray(out_b).sum())
+        dt = time.perf_counter() - t0
+        outs = list(out_b[:n])
+    else:
+        dposes = [jnp.asarray(np.asarray(p)) for p in poses]
+        jax.block_until_ready(dposes)
+        float(np.asarray(
+            render(state.params, dposes[0], state.aux)["rgb"]
+        ).sum())
+        t0 = time.perf_counter()
+        outs = [render(state.params, p, state.aux)["rgb"] for p in dposes]
+        jax.block_until_ready(outs)
+        float(np.asarray(outs[-1]).sum())  # full host sync (remote-chip safe)
+        dt = time.perf_counter() - t0
 
     frames = []
     for i, o in enumerate(outs):

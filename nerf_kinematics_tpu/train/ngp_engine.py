@@ -276,13 +276,10 @@ class NGPEngine(ClassicNerf):
     # False (model_fine is None) unless num_fine > 0, in which case
     # render_rays falls back to shared-parameter importance sampling.
 
-    def make_fast_render_fn(self, intrinsics, near, far, use_ndc: bool,
-                            settings=None):
-        """Jitted serving-rate renderer (rendering/fast_render.py): shared
-        stride²-block coarse pass + one fused full-image fine pass. Needs
-        the fused kernel and the occupancy proposal (the flagship config);
-        raises otherwise. Signature matches make_render_fn:
-        (params, c2w, aux) → maps dict."""
+    def _fast_render_fns(self, intrinsics, near, far, use_ndc: bool,
+                         settings=None):
+        """(jitted, raw) single-view fast-render closures — the raw one is
+        the vmap/shard target for make_fast_render_batch."""
         import jax
 
         from ..cameras.rays import get_rays, ndc_rays
@@ -308,7 +305,6 @@ class NGPEngine(ClassicNerf):
             num_coarse=settings.num_coarse, perturb=False
         )
 
-        @jax.jit
         def render_view(params, c2w, aux):
             rays_o, rays_d = get_rays(
                 H, W, intrinsics.fl_x, c2w, cx=intrinsics.cx,
@@ -329,7 +325,45 @@ class NGPEngine(ClassicNerf):
                 viewdirs=viewdirs,
             )
 
-        return render_view
+        return jax.jit(render_view), render_view
+
+    def make_fast_render_fn(self, intrinsics, near, far, use_ndc: bool,
+                            settings=None):
+        """Jitted serving-rate renderer (rendering/fast_render.py): shared
+        stride²-block coarse pass + one fused full-image fine pass. Needs
+        the fused kernel and the occupancy proposal (the flagship config);
+        raises otherwise. Signature matches make_render_fn:
+        (params, c2w, aux) → maps dict."""
+        jitted, _ = self._fast_render_fns(intrinsics, near, far, use_ndc,
+                                          settings)
+        return jitted
+
+    def make_fast_render_batch(self, intrinsics, near, far, use_ndc: bool,
+                               settings=None):
+        """Frame-parallel serving: (params, c2ws (F, 4, 4), aux) → maps dict
+        with a leading frame axis. Frames are embarrassingly parallel, so
+        multi-chip serving shards the FRAME axis over the engine's mesh
+        (params/occupancy replicated, each chip rendering its frames —
+        zero inter-chip traffic); single-device it is one vmapped dispatch
+        for a whole pose batch (one tunnel round trip on a remote chip).
+        With a mesh, F must be a multiple of the device count (pad at the
+        caller with any pose; discard the padded frames)."""
+        import jax
+
+        _, render_view = self._fast_render_fns(intrinsics, near, far,
+                                               use_ndc, settings)
+        batched = jax.vmap(render_view, in_axes=(None, 0, None))
+        if self.mesh is None:
+            return jax.jit(batched)
+        from ..parallel.mesh import batch_sharding, replicated_sharding
+
+        rep = replicated_sharding(self.mesh)
+        shard = batch_sharding(self.mesh)
+        return jax.jit(
+            batched,
+            in_shardings=(rep, shard, rep),
+            out_shardings=shard,
+        )
 
     def density_grid(self, params, resolution: int = 128):
         """Query σ on a regular grid over the scene AABB — feeds marching

@@ -141,6 +141,32 @@ def test_cli_render_video_fast(tmp_path, capsys):
     assert len(frames) == 3
 
 
+def test_fast_render_batch_sharded_matches_per_frame(tmp_path):
+    """Frame-parallel serving: the vmapped/mesh-sharded batch renderer must
+    reproduce the per-frame fast renders (frames are independent, params
+    and occupancy replicated — zero inter-chip traffic)."""
+    ds = make_synthetic_scene(n_views=9, resolution=24)
+    trainer = Trainer(_ngp_cfg(str(tmp_path)), dataset=ds, use_mesh=True)
+    assert trainer.mesh is not None  # conftest provides 8 CPU devices
+    res = trainer.fit()
+    state = res.state
+
+    single = trainer.engine.make_fast_render_fn(
+        ds.intrinsics, ds.near, ds.far, ds.use_ndc
+    )
+    batch = trainer.engine.make_fast_render_batch(
+        ds.intrinsics, ds.near, ds.far, ds.use_ndc
+    )
+    poses = jnp.asarray(ds.poses[:8])  # one frame per device
+    out = batch(state.params, poses, state.aux)
+    assert out["rgb"].shape == (8, 24, 24, 3)
+    for k in (0, 3, 7):
+        ref = single(state.params, poses[k], state.aux)["rgb"]
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"][k]), np.asarray(ref), atol=2e-5
+        )
+
+
 def test_fast_render_requires_flagship_features(tmp_path):
     cfg = _ngp_cfg(str(tmp_path))
     ds = make_synthetic_scene(n_views=4, resolution=16)
