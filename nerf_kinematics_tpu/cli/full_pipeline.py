@@ -129,10 +129,14 @@ def main(argv=None):
             tf_path.replace(".json", "_test_video.json"), require_images=False
         )
         vposes = vposes[: args.video_frames]
-        frames = []
-        for pose in vposes:
-            out = trainer._render(result.state.params, jnp.asarray(pose), result.state.aux)
-            frames.append(np.asarray(out["rgb"]))
+        # Pipelined dispatch (poses staged once, all frames in flight, one
+        # sync at the end) — per-frame host syncs serialize the device
+        # through the dispatch channel on a remote chip (see
+        # cli/run_nerf._render_video).
+        dposes = [jnp.asarray(np.asarray(p)) for p in vposes]
+        outs = [trainer._render(result.state.params, p, result.state.aux)["rgb"]
+                for p in dposes]
+        frames = [np.asarray(o) for o in outs]
         vid = write_video(os.path.join(args.out, "orbit.mp4"), frames, fps=15)
         print(f"[4/5] wrote {len(frames)}-frame orbit video: {vid}")
     else:
