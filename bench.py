@@ -53,32 +53,10 @@ DATASET_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 QUALITY_TARGET_DB = 25.0
 
 
-def _probe_backend(timeout_s: float = 150.0) -> bool:
-    """True if the accelerator backend initializes within ``timeout_s``.
-
-    The remote-chip (axon) backend can wedge: jax.devices() then hangs
-    forever instead of erroring, which would hang this whole benchmark.
-    Probe in a subprocess with a hard timeout; on failure fall back to the
-    CPU dev path (clearly labeled in the output) instead of hanging.
-    """
-    import subprocess
-    import sys
-
-    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        return True
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, check=True,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        )
-        return True
-    except Exception:
-        return False
-
-
 def main() -> None:
-    if not _probe_backend():
+    from nerf_kinematics_tpu.utils.backend_probe import probe_backend
+
+    if not probe_backend():
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
@@ -267,7 +245,9 @@ def main() -> None:
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
-        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC / n_chips, 3),
+        # samples_per_sec is ALREADY per chip (rays_per_sec divides by
+        # n_chips above) — do not divide again.
+        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
         "samples_per_sec_per_chip": round(samples_per_sec, 0),
         "samples_per_ray": samples_per_ray,
         "step_ms": round(step_s * 1e3, 3),
@@ -282,11 +262,11 @@ def main() -> None:
         "mfu_useful_pct": (
             round(mfu_useful_pct, 2) if mfu_useful_pct is not None else None
         ),
-        "vs_t4": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC / n_chips, 3),
+        "vs_t4": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
         # Position vs the BASELINE.json north-star (10x A100 rays/sec/chip):
         # A100 estimated at 5x the T4's published steps/s (see A100_OVER_T4).
         "vs_a100_est": round(
-            samples_per_sec / (A100_OVER_T4 * BASELINE_SAMPLES_PER_SEC) / n_chips, 3
+            samples_per_sec / (A100_OVER_T4 * BASELINE_SAMPLES_PER_SEC), 3
         ),
         "device_kind": kind,
         "workload": "machina400 (lego-class, 400x400, 100 views)" if on_tpu

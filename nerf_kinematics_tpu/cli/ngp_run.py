@@ -40,10 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoder", default="cp",
                    choices=["cp", "cp_pallas", "hash"], help="Positional encoder")
     p.add_argument("--config", default=None,
-                   help="YAML config (reference schema) supplying the model/"
-                        "optimizer/sampling recipe; CLI flags override only "
-                        "what they explicitly set. Without it this compat "
-                        "CLI uses its built-in demo hyperparameters.")
+                   help="YAML config (reference schema) supplying the whole "
+                        "model/optimizer/sampling recipe. The CLI then "
+                        "contributes only the scene location and, when "
+                        "given, --n_steps; --batch/--samples/--fine-samples/"
+                        "--encoder are taken from the YAML. Without it this "
+                        "compat CLI uses its built-in demo hyperparameters.")
     p.add_argument("--mode", default=None, help=argparse.SUPPRESS)
     return p
 
@@ -73,7 +75,10 @@ def _make_trainer(args):
                                         type="ngp"),
             experiment=dataclasses.replace(
                 cfg.experiment, id=f"ngp-{scene_id}",
-                train_iters=max(args.n_steps, 1),
+                # --n_steps overrides the YAML's budget only when given;
+                # its argparse default (0) must NOT clobber the recipe.
+                train_iters=(args.n_steps if args.n_steps > 0
+                             else cfg.experiment.train_iters),
             ),
         )
         return Trainer(cfg)

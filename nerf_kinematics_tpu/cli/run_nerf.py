@@ -27,6 +27,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serving-rate fast renderer for --render-video "
                         "(NGP engine: block-shared coarse pass + foreground "
                         "compaction; writes video.mp4 and reports fps)")
+    p.add_argument("--fast-fg", type=float, default=0.35,
+                   help="--fast: fraction of 2x2 blocks (by coarse-composite "
+                        "contrast) that get the fine pass. Default 0.35 is "
+                        "the iso-PSNR recipe measured on machina400; raise "
+                        "it (up to 1.0) for scenes whose subject fills the "
+                        "frame")
+    p.add_argument("--fast-fine", type=int, default=64,
+                   help="--fast: fine samples per ray (default 64: the "
+                        "compaction savings re-spent on depth)")
     p.add_argument("--load-checkpoint", default=None, help="Checkpoint step or legacy .ckpt path")
     p.add_argument("--max-iters", type=int, default=None, help="Override train_iters")
     p.add_argument("--mesh", action="store_true", help="Shard rays over all devices")
@@ -54,7 +63,8 @@ def main(argv=None) -> None:
 
     if args.render_video:
         state = _load_state(trainer, args.load_checkpoint)
-        _render_video(trainer, state, fast=args.fast)
+        _render_video(trainer, state, fast=args.fast,
+                      fast_fg=args.fast_fg, fast_fine=args.fast_fine)
         return
 
     result = trainer.fit(max_iters=args.max_iters)
@@ -108,7 +118,8 @@ def _save_val_images(trainer, v):
     print(f"wrote GT-vs-render pair under {trainer.rundir}/imgs/")
 
 
-def _render_video(trainer, state, fast: bool = False):
+def _render_video(trainer, state, fast: bool = False,
+                  fast_fg: float = 0.35, fast_fine: int = 64):
     import time
 
     import numpy as np
@@ -136,8 +147,8 @@ def _render_video(trainer, state, fast: bool = False):
             raise SystemExit("--fast needs the NGP engine (engine: ngp)")
         render_settings = FastRenderSettings(
             num_coarse=val.num_coarse,
-            num_fine=64,
-            fg_fraction=0.35,
+            num_fine=fast_fine,
+            fg_fraction=fast_fg,
             white_background=val.white_background,
         )
         render = trainer.engine.make_fast_render_fn(
@@ -174,6 +185,7 @@ def _render_video(trainer, state, fast: bool = False):
         out_b = batch(state.params, dposes_b, state.aux)["rgb"]
         float(np.asarray(out_b).sum())
         dt = time.perf_counter() - t0
+        dt = dt * n / (n + pad)  # dt covered n+pad rendered frames
         outs = list(out_b[:n])
     else:
         dposes = [jnp.asarray(np.asarray(p)) for p in poses]

@@ -697,8 +697,14 @@ def sfm_to_transforms(
         "aabb_scale": aabb_scale,
         "frames": [],
     }
+    # Portable file_paths: relative to the output JSON when one is being
+    # written (the loader's _resolve tries json_dir-relative first), so a
+    # committed transforms.json doesn't bake this machine's absolute paths.
+    base = os.path.dirname(os.path.abspath(out_path)) if out_path else None
     for k, img_i in enumerate(result.registered):
-        frame = {"file_path": str(image_paths[img_i])}
+        p = str(image_paths[img_i])
+        rel = os.path.relpath(os.path.abspath(p), base) if base else p
+        frame = {"file_path": rel if base and not rel.startswith("..") else p}
         if with_sharpness and os.path.isfile(image_paths[img_i]):
             frame["sharpness"] = compute_sharpness(image_paths[img_i])
         frame["transform_matrix"] = poses[k].tolist()

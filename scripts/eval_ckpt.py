@@ -49,6 +49,8 @@ def main() -> None:
     trainer = Trainer(cfg)
     state = trainer.engine.init_state(0)
     state, step = CheckpointManager(args.ckpt).restore(state)
+    if state is None:
+        raise SystemExit(f"no checkpoint found under {args.ckpt}")
     ev = trainer.evaluate_split(state, args.split)
     print(json.dumps({
         "config": args.config,

@@ -49,6 +49,8 @@ def main() -> None:
     trainer = Trainer(cfg)
     state = trainer.engine.init_state(0)
     state, step = CheckpointManager(args.ckpt).restore(state)
+    if state is None:
+        raise SystemExit(f"no checkpoint found under {args.ckpt}")
     print(f"restored step {step}", file=sys.stderr)
     ds = trainer.dataset
     vi = int(ds.val_idx[0])

@@ -77,3 +77,35 @@ def test_full_cli_pipeline(ngp_scene, tmp_path, capsys, monkeypatch):
           "--marching_cubes_res", "24",
           "--marching_cubes_density_thresh", "2.0"])
     assert os.path.isfile(mesh)
+
+
+def test_config_flag_keeps_yaml_step_budget(ngp_scene, tmp_path):
+    """--config supplies the whole recipe: without --n_steps the YAML's
+    train_iters must survive (regression: the argparse default 0 used to
+    clobber it to max(0, 1) = 1), and --n_steps still overrides."""
+    import yaml
+
+    from nerf_kinematics_tpu.cli.ngp_run import _make_trainer, build_parser
+
+    cfg = {
+        "engine": "ngp",
+        "ngp": {"encoder": "cp",
+                "cp": {"n_levels": 2, "n_components": 4,
+                       "base_resolution": 8, "max_resolution": 16,
+                       "table_size": 16}},
+        "nerf": {"num_random_rays": 64,
+                 "train": {"num_coarse": 8, "num_fine": 0},
+                 "validation": {"num_coarse": 8, "num_fine": 0}},
+        "experiment": {"id": "cfg", "logdir": str(tmp_path),
+                       "train_iters": 77},
+    }
+    path = tmp_path / "recipe.yml"
+    path.write_text(yaml.safe_dump(cfg))
+
+    root, _ = ngp_scene
+    t = _make_trainer(build_parser().parse_args(
+        [str(root), "--config", str(path)]))
+    assert t.cfg.experiment.train_iters == 77
+    t2 = _make_trainer(build_parser().parse_args(
+        [str(root), "--config", str(path), "--n_steps", "5"]))
+    assert t2.cfg.experiment.train_iters == 5
