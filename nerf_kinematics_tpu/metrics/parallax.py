@@ -122,3 +122,39 @@ def plot_pose_clouds(metrics_and_poses, path: str) -> None:
     fig.tight_layout()
     fig.savefig(path, dpi=120)
     plt.close(fig)
+
+
+def main(argv=None) -> None:
+    """CLI mirror of paralaje.ipynb: metrics table (+ optional 3D pose
+    plot) for one or more transforms*.json files.
+
+        python -m nerf_kinematics_tpu.metrics.parallax \
+            wheel/transforms.json fox/transforms.json --plot paralaje.png
+    """
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description="Pose-diversity analysis")
+    ap.add_argument("transforms", nargs="+", help="transforms*.json paths")
+    ap.add_argument("--plot", default=None,
+                    help="write the 3D pose-cloud quiver PNG here")
+    args = ap.parse_args(argv)
+
+    metrics, clouds = [], []
+    for path in args.transforms:
+        m = analyze_transforms_json(path)
+        metrics.append(m)
+        with open(path) as f:
+            meta = json.load(f)
+        mats = [fr.get("transform_matrix", fr.get("transform_matrix_start"))
+                for fr in meta["frames"]]
+        clouds.append((m.label, np.asarray(
+            [x for x in mats if x is not None], np.float64)))
+    print(summary_table(metrics))
+    if args.plot:
+        plot_pose_clouds(clouds, args.plot)
+        print(f"wrote {args.plot}")
+
+
+if __name__ == "__main__":
+    main()
