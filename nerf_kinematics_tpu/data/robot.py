@@ -86,6 +86,19 @@ def load_robot(cfg) -> NerfDataset:
     val_idx = idx[::hold]
     train_idx = np.array([i for i in idx if i % hold != 0])
 
+    # Novel-view path: the converter's 360° orbit convention
+    # (generate_video_poses' 5·sin(4θ) wobble), rescaled to the normalized
+    # capture (unit max radius) so --render-video works on robot datasets
+    # loaded directly from a capture dir.
+    from ..poses.orbit import generate_orbit_poses
+
+    center = poses[:, :3, 3].mean(0)
+    radius = float(np.linalg.norm(poses[:, :3, 3] - center, axis=1).mean())
+    radius = radius if radius > 1e-6 else 1.0
+    render_poses = generate_orbit_poses(
+        center, radius, 60, height_wobble=0.125 * radius, wobble_freq=4
+    ).astype(np.float32)
+
     return NerfDataset(
         images=imgs,
         poses=poses,
@@ -96,4 +109,5 @@ def load_robot(cfg) -> NerfDataset:
         val_idx=val_idx,
         use_ndc=not getattr(cfg, "no_ndc", True),
         aabb_scale=2.0,
+        render_poses=render_poses,
     )
