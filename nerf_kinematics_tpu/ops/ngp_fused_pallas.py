@@ -49,11 +49,21 @@ from jax.experimental.pallas import tpu as pltpu
 from .cp_grid import CPGridConfig, fold_salt
 from .cp_grid_pallas import _hat_weights
 
-# 1024-point blocks measure ~20% faster than 512 at the flagship config on
-# v5e (fwd+bwd 6.1 vs 7.6 ms per 393k-point pass); 2048 exceeds the VMEM
-# budget of the backward kernel's per-layer residuals + 15 (Tl, B) weight
-# mats kept for the encoder backward.
-DEFAULT_BLOCK = 1024
+# Measured on v5e at the flagship shape (393k-point pass, fwd+bwd):
+# block 512: 7.6 ms, 1024: 5.8 ms, 2048: 5.4 ms, 4096: 5.3 ms — bigger
+# blocks amortize the per-block parameter reloads and grid overhead. 2048+
+# requires the raised VMEM_LIMIT below (the 16 MB Mosaic default OOMs).
+# Small inputs are clamped to their own padded size (see _block_for).
+DEFAULT_BLOCK = 4096
+
+# Scoped-VMEM budget for the fused kernels. The Mosaic default (16 MB) is a
+# compiler knob, not the hardware: v5e VMEM is 128 MB (probed empirically —
+# a 120 MB scratch allocates fine). The backward kernel's per-block stack
+# (per-level u residuals + MLP pre-activations + the dlines accumulator)
+# crosses 16 MB once n_components grows past ~64 or the block past 1024;
+# raising the cap is strictly better than spilling those to HBM. 96 MB
+# leaves headroom for Mosaic's own double-buffering of the streamed blocks.
+VMEM_LIMIT = 96 * 1024 * 1024
 
 
 def _sh4_rows(vd):
@@ -212,7 +222,14 @@ def _bwd_kernel(xt_ref, vd_ref, lines_ref, *refs,
     acc_dims = (((1,), (1,)), ((), ()))   # (Tl,B)x(C,B) -> (Tl,C)
 
     # ---- recompute forward, keeping residuals as in-register values ----
-    Ws_all, u_all, enc_parts = [], [], []
+    # Only the per-axis line features u (C, B) are retained for the encoder
+    # backward; the (Tl, B) hat-weight operands are REBUILT per level there.
+    # Keeping all 3·L weight mats alive across the MLP backward costs
+    # ~L·3·Tl·B bytes of VMEM (5.9 MB at the flagship shape) while the
+    # rebuild is a handful of VPU ops per element — dropping them is what
+    # lets n_components grow to a full 128-lane MXU tile without OOMing
+    # the backward kernel's scoped VMEM.
+    u_all, enc_parts = [], []
     rows = [cfg.level_rows(R) for R in cfg.resolutions]
     for l, R in enumerate(cfg.resolutions):
         Tl = rows[l]
@@ -220,18 +237,16 @@ def _bwd_kernel(xt_ref, vd_ref, lines_ref, *refs,
             jnp.float32
         )
         pos = xx * R
-        Ws, u = [], []
+        u = []
         for a in range(3):
             W = _hat_weights(pos[a : a + 1], iota, R, cfg.level_fold(R), wdtype,
                              cfg.fold, fold_salt(l, a))
-            Ws.append(W)
             u.append(
                 jax.lax.dot_general(
                     lines_ref[l, a, :Tl, :].astype(wdtype), W, fwd_dims,
                     preferred_element_type=jnp.float32,
                 )
             )
-        Ws_all.append(Ws)
         u_all.append(u)
         enc_parts.append(u[0] * u[1] * u[2])
     enc = jnp.concatenate(enc_parts, axis=0)
@@ -268,17 +283,33 @@ def _bwd_kernel(xt_ref, vd_ref, lines_ref, *refs,
         ddb[i][...] += ddbs[i]
 
     # ---- encoder backward (as in cp_grid_pallas, channels-first) --------
-    for l in range(cfg.n_levels):
+    for l, R in enumerate(cfg.resolutions):
         u = u_all[l]
         Tl = rows[l]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Tl, B), 0).astype(
+            jnp.float32
+        )
+        pos = xx * R
         g_l = d_enc[l * C : (l + 1) * C, :]  # (C, B)
         others = [u[1] * u[2], u[0] * u[2], u[0] * u[1]]
         for a in range(3):
+            # Rebuild the hat-weight operand (VPU-cheap) instead of holding
+            # it in VMEM across the MLP backward — see the forward-recompute
+            # comment above.
+            W = _hat_weights(pos[a : a + 1], iota, R, cfg.level_fold(R),
+                             wdtype, cfg.fold, fold_salt(l, a))
             grad_u = (g_l * others[a]).astype(wdtype)  # (C, B)
             dlines_ref[l, a, :Tl, :] += jax.lax.dot_general(
-                Ws_all[l][a], grad_u, acc_dims,
+                W, grad_u, acc_dims,
                 preferred_element_type=jnp.float32,
             )  # (Tl, C) — parameter layout; rows ≥ Tl stay 0
+
+
+def _block_for(n: int, block: int) -> int:
+    """Clamp the point-block width for small inputs: a 1k-point call must
+    not pad to a 4096-wide block (4x wasted compute; interpret-mode tests
+    would crawl). Lane tiles are 128 wide — round n up to that."""
+    return min(block, max(128, -(-n // 128) * 128))
 
 
 def _pad_lanes(arr, block: int):
@@ -319,6 +350,7 @@ def ngp_fused_apply_cf(
 
 
 def _fused_forward_cf(params, xt, vdt, cfg, block, interpret):
+    block = _block_for(xt.shape[1], block)
     xt, n, n_blocks = _pad_lanes(xt, block)
     vdt, _, _ = _pad_lanes(vdt, block)
     nd, nc = len(params["dW"]), len(params["cW"])
@@ -335,6 +367,7 @@ def _fused_forward_cf(params, xt, vdt, cfg, block, interpret):
         out_specs=pl.BlockSpec((4, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, n_blocks * block), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(xt, vdt, *flat)
     return out[:, :n]
@@ -348,6 +381,7 @@ def _fused_fwd_cf(params, xt, vdt, cfg, block, interpret):
 
 def _fused_bwd_cf(cfg, block, interpret, res, g):
     params, xt, vdt = res
+    block = _block_for(xt.shape[1], block)
     xt, n, n_blocks = _pad_lanes(xt, block)
     vdt, _, _ = _pad_lanes(vdt, block)
     gf, _, _ = _pad_lanes(g, block)
@@ -372,6 +406,7 @@ def _fused_bwd_cf(cfg, block, interpret, res, g):
             for s in out_shapes
         ],
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(xt, vdt, *flat, gf)
 
