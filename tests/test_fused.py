@@ -205,3 +205,30 @@ def test_fused_hash_fold_matches_unfused():
         np.testing.assert_allclose(
             np.asarray(leaf), np.asarray(flat_u[path]), rtol=5e-3, atol=5e-4,
             err_msg=str(path))
+
+
+def test_block_clamp_small_inputs():
+    """_block_for caps the point-block at the padded input width so small
+    calls don't pad to the 4096-point training block, and results are
+    invariant to the requested block size."""
+    from nerf_kinematics_tpu.ops.ngp_fused_pallas import (
+        _block_for,
+        ngp_fused_apply_cf,
+    )
+
+    assert _block_for(100, 4096) == 128
+    assert _block_for(1024, 4096) == 1024
+    assert _block_for(1030, 4096) == 1152  # rounds up to the lane tile
+    assert _block_for(100000, 4096) == 4096
+
+    cfg = _cfg(fused="on")
+    e_f, _, params = _engines()
+    raw = e_f._fused_params(params)
+    key = jax.random.PRNGKey(3)
+    xt = jax.random.uniform(key, (3, 300))
+    vd = jax.random.normal(key, (3, 300))
+    vd = vd / jnp.linalg.norm(vd, axis=0, keepdims=True)
+    out_small = ngp_fused_apply_cf(raw, xt, vd, cfg.cp, 256, True)
+    out_big = ngp_fused_apply_cf(raw, xt, vd, cfg.cp, 4096, True)
+    np.testing.assert_allclose(np.asarray(out_small), np.asarray(out_big),
+                               rtol=1e-6, atol=1e-6)
