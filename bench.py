@@ -127,14 +127,14 @@ def main() -> None:
     for n in (reps_small, reps_big):
         many = engine.make_train_many(ds.intrinsics, ds.near, ds.far,
                                       ds.use_ndc, steps_per_call=n)
-        compiled = many.lower(state, images, poses).compile()
+        compiled = many.lower(state, images, poses, trainer.ray_buf).compile()
         s = state
         for _ in range(2):                       # warm-up (donates input)
-            s, m = compiled(s, images, poses)
+            s, m = compiled(s, images, poses, trainer.ray_buf)
             float(m["loss"])                     # host read = real sync
         t0 = time.perf_counter()
         for _ in range(timed_calls):
-            s, m = compiled(s, images, poses)
+            s, m = compiled(s, images, poses, trainer.ray_buf)
             # NOTE: jax.block_until_ready does NOT synchronize on the
             # experimental remote-chip platform; a host scalar read does.
             float(m["loss"])
@@ -227,7 +227,7 @@ def main() -> None:
         t_start = time.perf_counter()
         t_post = None
         for it in range(1, 17):  # cap 4000 steps
-            state, m = many(state, images, poses)
+            state, m = many(state, images, poses, trainer.ray_buf)
             state = engine.update_occupancy(state)
             val = float(psnr(np.asarray(render(state.params, vpose,
                                                 state.aux)["rgb"]), gt))

@@ -111,6 +111,30 @@ class CPGridConfig:
         rows = self.level_rows(R)
         return rows if R >= rows else 0
 
+    def level_rows_dup(self, R: int) -> int:
+        """Kernel-facing row count for the duplicated-wrap-row tent.
+
+        Periodic folded levels are evaluated with a PLAIN tent over F+1 rows
+        where row F is a copy of row 0 (maintained outside the kernel): the
+        circular distance min(d, F-d) then never needs computing — two fewer
+        VPU ops per (row, point) weight element, same function exactly.
+        Non-folded and hash-folded levels are unchanged. 16-sublane aligned
+        (bf16 operand tiling)."""
+        F = self.level_fold(R)
+        if F and self.fold == "periodic":
+            return -(-(F + 1) // 16) * 16
+        return self.level_rows(R)
+
+    @property
+    def dup_rows(self) -> int:
+        """Stacked-lines row count the fused kernels consume:
+        max over levels of level_rows_dup (>= table_size when any folded
+        level needs its wrap row duplicated past the table end)."""
+        return max(
+            self.table_size,
+            max(self.level_rows_dup(R) for R in self.resolutions),
+        )
+
     @property
     def n_params(self) -> int:
         return self.n_levels * 3 * self.table_size * self.n_components

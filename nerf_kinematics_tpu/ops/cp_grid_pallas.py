@@ -62,7 +62,8 @@ def init_stacked_lines(key, cfg: CPGridConfig, dtype=jnp.float32) -> jnp.ndarray
 
 
 def _hat_weights(p, iota_f32, R: int, F: int, wdtype,
-                 fold: str = "periodic", salt: int = 0):
+                 fold: str = "periodic", salt: int = 0,
+                 dup: bool = False):
     """(1, B) positions in level coords → (rows, B) interpolation weights.
 
     ``F`` is the level's fold modulus (``CPGridConfig.level_fold``): 0 means
@@ -74,10 +75,19 @@ def _hat_weights(p, iota_f32, R: int, F: int, wdtype,
     from :func:`cp_grid.hash_fold_indices` instead (pseudo-random collisions
     rather than periodic aliasing) — built by two iota equality compares at
     the same (rows, B) cost as the tent.
+
+    ``dup=True`` (periodic fold only): the caller provides ≥ F+1 iota rows
+    and a table whose row F duplicates row 0 (CPGridConfig.level_rows_dup);
+    the circular tent then reduces to the PLAIN tent relu(1 - |p mod F - t|)
+    — the wrap pair (F-1, 0) is covered by rows (F-1, F). Two fewer VPU ops
+    per weight element than the circular distance; exactly the same
+    function. The fused-kernel hot path uses this.
     """
     p = jnp.clip(p, 0.0, R - 1e-4)
     if F == 0:
         d = jnp.abs(p - iota_f32)
+    elif dup and fold == "periodic":
+        d = jnp.abs(jnp.mod(p, float(F)) - iota_f32)
     elif fold == "hash":
         from .cp_grid import hash_fold_indices
 

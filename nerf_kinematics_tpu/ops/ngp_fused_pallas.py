@@ -98,7 +98,12 @@ def _sh4_rows(vd):
 
 
 def _encode_block_cf(xt, lines_ref, cfg: CPGridConfig, wdtype):
-    """(3, B) points → (L*C, B) f32 encoding, channels in sublanes."""
+    """(3, B) points → (L*C, B) f32 encoding, channels in sublanes.
+
+    ``lines_ref`` is the dup-row kernel operand (see ``dup_lines``): each
+    periodic folded level's wrap row is materialized at row F, so the hat
+    weights are always a PLAIN tent (dup=True) — no circular distance.
+    """
     B = xt.shape[1]
     T, C = cfg.table_size, cfg.n_components
     xx = jnp.clip(xt, 0.0, 1.0)
@@ -106,7 +111,7 @@ def _encode_block_cf(xt, lines_ref, cfg: CPGridConfig, wdtype):
     dims = (((0,), (0,)), ((), ()))
     outs = []
     for l, R in enumerate(cfg.resolutions):
-        Tl = cfg.level_rows(R)
+        Tl = cfg.level_rows_dup(R)
         iota = jax.lax.broadcasted_iota(jnp.int32, (Tl, B), 0).astype(
             jnp.float32
         )
@@ -114,7 +119,7 @@ def _encode_block_cf(xt, lines_ref, cfg: CPGridConfig, wdtype):
         u = []
         for a in range(3):
             W = _hat_weights(pos[a : a + 1], iota, R, cfg.level_fold(R), wdtype,
-                             cfg.fold, fold_salt(l, a))
+                             cfg.fold, fold_salt(l, a), dup=True)
             u.append(
                 jax.lax.dot_general(
                     lines_ref[l, a, :Tl, :].astype(wdtype), W, dims,
@@ -193,6 +198,51 @@ def _fwd_kernel(xt_ref, vd_ref, lines_ref, *param_refs,
     out_ref[3:4, :] = sigma
 
 
+def _fwd_sigma_kernel(xt_ref, lines_ref, *param_refs,
+                      cfg: CPGridConfig, nd: int, wdtype):
+    """Density-only forward: encode → density MLP → σ row; rgb rows 0.
+    No view directions, no SH basis, no color MLP — the proposal-only
+    coarse pass (coarse_loss_weight 0) consumes just the σ row to build
+    its importance PDF (instant-ngp likewise queries only the density
+    model when maintaining/marching its occupancy grid)."""
+    out_ref = param_refs[-1]
+    dW = [param_refs[i] for i in range(nd)]
+    db = [param_refs[nd + i] for i in range(nd)]
+    enc = _encode_block_cf(xt_ref[:], lines_ref, cfg, wdtype)
+    feat, _ = _mlp_fwd_cf(enc, [w[:] for w in dW], [b[:] for b in db], wdtype)
+    out_ref[0:3, :] = jnp.zeros_like(out_ref[0:3, :])
+    out_ref[3:4, :] = _sigma_row(feat)
+
+
+def ngp_fused_sigma_cf(params, xt, cfg, block: int = DEFAULT_BLOCK,
+                       interpret: bool = False):
+    """Density-only fused forward, channels-first: (3, N) points → (4, N)
+    with rows 0-2 ZERO and row 3 = σ. Same output contract as
+    :func:`ngp_fused_apply_cf` so compositing consumes it unchanged. Not
+    differentiable (no VJP) — callers are proposal-only passes whose
+    weights are stop-gradiented (renderer sample_pdf) and whose loss term
+    is dropped (coarse_loss_weight 0)."""
+    block = _block_for(xt.shape[1], block)
+    xt, n, n_blocks = _pad_lanes(xt, block)
+    nd = len(params["dW"])
+    wdtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+    flat = ([dup_lines(params["lines"], cfg)]
+            + list(params["dW"]) + list(params["db"]))
+    out = pl.pallas_call(
+        functools.partial(_fwd_sigma_kernel, cfg=cfg, nd=nd, wdtype=wdtype),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat],
+        out_specs=pl.BlockSpec((4, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, n_blocks * block), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(xt, *flat)
+    return out[:, :n]
+
+
 def _bwd_kernel(xt_ref, vd_ref, lines_ref, *refs,
                 cfg: CPGridConfig, nd: int, nc: int, wdtype):
     """refs: dW, db, cW, cb (params), g (4, B) — then outputs:
@@ -222,25 +272,25 @@ def _bwd_kernel(xt_ref, vd_ref, lines_ref, *refs,
     acc_dims = (((1,), (1,)), ((), ()))   # (Tl,B)x(C,B) -> (Tl,C)
 
     # ---- recompute forward, keeping residuals as in-register values ----
-    # Only the per-axis line features u (C, B) are retained for the encoder
-    # backward; the (Tl, B) hat-weight operands are REBUILT per level there.
-    # Keeping all 3·L weight mats alive across the MLP backward costs
-    # ~L·3·Tl·B bytes of VMEM (5.9 MB at the flagship shape) while the
-    # rebuild is a handful of VPU ops per element — dropping them is what
-    # lets n_components grow to a full 128-lane MXU tile without OOMing
-    # the backward kernel's scoped VMEM.
-    u_all, enc_parts = [], []
-    rows = [cfg.level_rows(R) for R in cfg.resolutions]
+    # The per-axis line features u (C, B) AND the (Tl, B) bf16 hat-weight
+    # operands are retained for the encoder backward — the weights cost
+    # ~sum(Tl)·3·B·2 bytes of VMEM (14 MB at the flagship shape, well under
+    # the 96 MB scoped budget) and dropping them meant rebuilding every
+    # tent a second time, measured as a double-digit share of step time at
+    # the flagship shape (the W build is VPU-bound, not MXU-bound).
+    u_all, W_all, enc_parts = [], [], []
+    rows = [cfg.level_rows_dup(R) for R in cfg.resolutions]
     for l, R in enumerate(cfg.resolutions):
         Tl = rows[l]
         iota = jax.lax.broadcasted_iota(jnp.int32, (Tl, B), 0).astype(
             jnp.float32
         )
         pos = xx * R
-        u = []
+        u, Ws = [], []
         for a in range(3):
             W = _hat_weights(pos[a : a + 1], iota, R, cfg.level_fold(R), wdtype,
-                             cfg.fold, fold_salt(l, a))
+                             cfg.fold, fold_salt(l, a), dup=True)
+            Ws.append(W)
             u.append(
                 jax.lax.dot_general(
                     lines_ref[l, a, :Tl, :].astype(wdtype), W, fwd_dims,
@@ -248,6 +298,7 @@ def _bwd_kernel(xt_ref, vd_ref, lines_ref, *refs,
                 )
             )
         u_all.append(u)
+        W_all.append(Ws)
         enc_parts.append(u[0] * u[1] * u[2])
     enc = jnp.concatenate(enc_parts, axis=0)
 
@@ -286,21 +337,12 @@ def _bwd_kernel(xt_ref, vd_ref, lines_ref, *refs,
     for l, R in enumerate(cfg.resolutions):
         u = u_all[l]
         Tl = rows[l]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (Tl, B), 0).astype(
-            jnp.float32
-        )
-        pos = xx * R
         g_l = d_enc[l * C : (l + 1) * C, :]  # (C, B)
         others = [u[1] * u[2], u[0] * u[2], u[0] * u[1]]
         for a in range(3):
-            # Rebuild the hat-weight operand (VPU-cheap) instead of holding
-            # it in VMEM across the MLP backward — see the forward-recompute
-            # comment above.
-            W = _hat_weights(pos[a : a + 1], iota, R, cfg.level_fold(R),
-                             wdtype, cfg.fold, fold_salt(l, a))
             grad_u = (g_l * others[a]).astype(wdtype)  # (C, B)
             dlines_ref[l, a, :Tl, :] += jax.lax.dot_general(
-                W, grad_u, acc_dims,
+                W_all[l][a], grad_u, acc_dims,
                 preferred_element_type=jnp.float32,
             )  # (Tl, C) — parameter layout; rows ≥ Tl stay 0
 
@@ -330,6 +372,44 @@ def _flatten_params(params):
     )
 
 
+def dup_lines(lines: jnp.ndarray, cfg: CPGridConfig) -> jnp.ndarray:
+    """(L,3,T,C) parameter tables → (L,3,dup_rows,C) kernel operand.
+
+    For each periodic folded level, materializes the wrap row: row F (its
+    fold modulus) becomes a copy of row 0, letting the kernel tent stay
+    plain (``_hat_weights(dup=True)``). Rows of level l at indices > F are
+    zeroed copies/padding the tent never weights. O(L·3·T·C) — trivial next
+    to the kernel itself."""
+    if cfg.fold != "periodic":
+        return lines
+    T, Tp = cfg.table_size, cfg.dup_rows
+    out = lines
+    if Tp > T:
+        out = jnp.pad(lines, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    for l, R in enumerate(cfg.resolutions):
+        F = cfg.level_fold(R)
+        if F:
+            out = out.at[l, :, F, :].set(lines[l, :, 0, :])
+    return out
+
+
+def fold_dlines(dl: jnp.ndarray, cfg: CPGridConfig) -> jnp.ndarray:
+    """Inverse of :func:`dup_lines` for cotangents: each folded level's
+    dup-row gradient (row F) folds into row 0, then the padding is sliced
+    off and in-table dup rows are zeroed (row F < T is a dead parameter row
+    for its own level — it must not receive the wrap gradient)."""
+    if cfg.fold != "periodic":
+        return dl
+    T = cfg.table_size
+    for l, R in enumerate(cfg.resolutions):
+        F = cfg.level_fold(R)
+        if F:
+            dl = dl.at[l, :, 0, :].add(dl[l, :, F, :])
+            if F < T:
+                dl = dl.at[l, :, F, :].set(0.0)
+    return dl[:, :, :T, :]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def ngp_fused_apply_cf(
     params: dict,
@@ -357,6 +437,7 @@ def _fused_forward_cf(params, xt, vdt, cfg, block, interpret):
     wdtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
 
     flat = _flatten_params(params)
+    flat[0] = dup_lines(flat[0], cfg)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, cfg=cfg, nd=nd, nc=nc, wdtype=wdtype),
         grid=(n_blocks,),
@@ -389,6 +470,7 @@ def _fused_bwd_cf(cfg, block, interpret, res, g):
     wdtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
 
     flat = _flatten_params(params)
+    flat[0] = dup_lines(flat[0], cfg)
     out_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in flat]
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg=cfg, nd=nd, nc=nc, wdtype=wdtype),
@@ -411,7 +493,7 @@ def _fused_bwd_cf(cfg, block, interpret, res, g):
     )(xt, vdt, *flat, gf)
 
     d_params = {
-        "lines": outs[0],
+        "lines": fold_dlines(outs[0], cfg),
         "dW": list(outs[1 : 1 + nd]),
         "db": list(outs[1 + nd : 1 + 2 * nd]),
         "cW": list(outs[1 + 2 * nd : 1 + 2 * nd + nc]),

@@ -38,6 +38,15 @@ class RenderSettings:
     # importance samples (no sort; the fast engines' default — the per-ray
     # sort costs more than the model itself on TPU).
     merge_hierarchical: bool = True
+    # Ray-batch source (train phase only): "random" gathers random pixels
+    # from the image stack each step (reference semantics — instant-ngp
+    # samples pixels with replacement); "shuffled" iterates a precomputed
+    # globally-shuffled per-pixel ray buffer with a dynamic_slice. Random
+    # gathers run at ~140M elem/s on TPU (~1.3 ms/step at 8k rays);
+    # the slice is free. Shuffle-once + sequential consumption is the
+    # original NeRF data order (its ray batching does exactly this), with
+    # a per-epoch offset drift standing in for the end-of-epoch reshuffle.
+    pixel_sampler: str = "random"
 
     @classmethod
     def from_cfg(cls, d: dict) -> "RenderSettings":

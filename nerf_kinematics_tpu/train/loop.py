@@ -33,6 +33,44 @@ class TrainState(NamedTuple):
     aux: Any = None  # engine-specific state (e.g. the NGP occupancy grid)
 
 
+def build_shuffled_ray_buffer(images, poses, intrinsics, seed: int = 0):
+    """Precompute the 'shuffled' pixel sampler's ray buffer.
+
+    One-time O(N_pixels) work + 3·N·3 floats of HBM (576 MB at 16M pixels)
+    buys every train step out of its random pixel+pose gather (TPU random
+    gathers measure ~140M elem/s — ~1.3 ms of an 8k-ray NGP step; the
+    dynamic_slice that replaces them is effectively free). Rays are stored
+    PRE-NDC (the step applies the warp to the batch, matching the random
+    path exactly). Returns {"rays_o", "rays_d", "target"}: (N, 3) f32,
+    globally permuted with a fixed seed.
+    """
+    n_img, H, W = images.shape[0], images.shape[1], images.shape[2]
+    fl_x, fl_y = intrinsics.fl_x, intrinsics.fl_y
+    cx, cy = intrinsics.cx, intrinsics.cy
+    dist = getattr(intrinsics, "distortion", None)
+
+    @jax.jit
+    def build(images, poses, key):
+        cols, rows = jnp.meshgrid(
+            jnp.arange(W, dtype=jnp.float32),
+            jnp.arange(H, dtype=jnp.float32),
+        )
+        dirs_cam = pixel_dirs(cols.ravel(), rows.ravel(), fl_x, fl_y, cx, cy,
+                              dist=dist)  # (H*W, 3)
+        rays_d = jnp.einsum("nij,pj->npi", poses[:, :3, :3], dirs_cam)
+        rays_o = jnp.broadcast_to(
+            poses[:, None, :3, 3], (n_img, H * W, 3)
+        )
+        perm = jax.random.permutation(key, n_img * H * W)
+        return {
+            "rays_o": rays_o.reshape(-1, 3)[perm],
+            "rays_d": rays_d.reshape(-1, 3)[perm],
+            "target": images.reshape(-1, images.shape[-1])[perm],
+        }
+
+    return build(images, poses, jax.random.PRNGKey(seed))
+
+
 def lr_schedule(cfg: Config):
     """Exponential decay: lr0 * factor^(step / (lr_decay * 1000)) — the
     classic-NeRF rule behind scheduler.{lr_decay, lr_decay_factor}."""
@@ -161,6 +199,20 @@ class ClassicNerf:
                 loss = loss_f if cw == 0.0 else cw * loss_c + loss_f
             return loss, (loss_c, loss_f)
 
+        def _finish_batch(rays_o, rays_d, target):
+            viewdirs = None
+            if use_viewdirs:
+                viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+            if use_ndc:
+                rays_o, rays_d = ndc_rays(H, W, fl_x, 1.0, rays_o, rays_d)
+            # Shard the ray batch over the mesh data axis.
+            rays_o = shard_batch(rays_o, mesh)
+            rays_d = shard_batch(rays_d, mesh)
+            target = shard_batch(target, mesh)
+            if viewdirs is not None:
+                viewdirs = shard_batch(viewdirs, mesh)
+            return rays_o, rays_d, viewdirs, target
+
         def sample_batch(key, images, poses):
             n_img = images.shape[0]
             k_img, k_row, k_col = jax.random.split(key, 3)
@@ -176,22 +228,38 @@ class ClassicNerf:
             )
             rays_d = jnp.einsum("nij,nj->ni", c2w[:, :3, :3], dirs_cam)
             rays_o = c2w[:, :3, 3]
-            viewdirs = None
-            if use_viewdirs:
-                viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-            if use_ndc:
-                rays_o, rays_d = ndc_rays(H, W, fl_x, 1.0, rays_o, rays_d)
-            # Shard the ray batch over the mesh data axis.
-            rays_o = shard_batch(rays_o, mesh)
-            rays_d = shard_batch(rays_d, mesh)
-            target = shard_batch(target, mesh)
-            if viewdirs is not None:
-                viewdirs = shard_batch(viewdirs, mesh)
-            return rays_o, rays_d, viewdirs, target
+            return _finish_batch(rays_o, rays_d, target)
 
-        def train_step(state: TrainState, images, poses):
+        def sample_batch_shuffled(step, ray_buf):
+            # Sequential slices of the pre-shuffled buffer; epochs drift by
+            # a fixed odd stride so step i of epoch e never replays epoch
+            # e-1's batch boundaries (the cheap stand-in for reshuffling).
+            n_total = ray_buf["rays_o"].shape[0]
+            epoch_steps = jnp.int32(max(n_total // n_rays, 1))
+            limit = jnp.int32(n_total - n_rays + 1)
+            offset = ((step % epoch_steps) * n_rays
+                      + (step // epoch_steps) * jnp.int32(4099)) % limit
+            take = lambda a: jax.lax.dynamic_slice_in_dim(a, offset, n_rays)
+            return _finish_batch(
+                take(ray_buf["rays_o"]), take(ray_buf["rays_d"]),
+                take(ray_buf["target"]),
+            )
+
+        sampler = getattr(settings, "pixel_sampler", "random")
+        if sampler not in ("random", "shuffled"):
+            raise ValueError(f"unknown pixel_sampler {sampler!r}")
+
+        def train_step(state: TrainState, images, poses, ray_buf=None):
             key, k_batch, k_render = jax.random.split(state.key, 3)
-            batch = sample_batch(k_batch, images, poses)
+            if sampler == "shuffled":
+                if ray_buf is None:
+                    raise ValueError(
+                        "pixel_sampler 'shuffled' needs the ray_buf argument "
+                        "(Trainer builds it via build_shuffled_ray_buffer)"
+                    )
+                batch = sample_batch_shuffled(state.step, ray_buf)
+            else:
+                batch = sample_batch(k_batch, images, poses)
             (loss, (loss_c, loss_f)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, batch, k_render, state.aux)
@@ -219,9 +287,9 @@ class ClassicNerf:
         """
         raw_step = self._build_train_step(intrinsics, near, far, use_ndc)
 
-        def many(state: TrainState, images, poses):
+        def many(state: TrainState, images, poses, ray_buf=None):
             def body(carry, _):
-                new_state, metrics = raw_step(carry, images, poses)
+                new_state, metrics = raw_step(carry, images, poses, ray_buf)
                 return new_state, metrics
 
             state, metrics = jax.lax.scan(body, state, None, length=steps_per_call)

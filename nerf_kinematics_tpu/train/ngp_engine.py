@@ -190,11 +190,43 @@ class NGPEngine(ClassicNerf):
             interpret=jax.default_backend() != "tpu",
         )
 
+    def apply_sigma_cf(self, params, pts, vd):
+        """Density-only channels-first entry: (4, N) with zero rgb rows.
+        Used for the proposal-only coarse pass — sigma drives the
+        importance PDF; color is never consumed (coarse_loss_weight 0 drops
+        the coarse loss term and sample_pdf stop-gradients the weights)."""
+        from ..ops.ngp_fused_pallas import DEFAULT_BLOCK, ngp_fused_sigma_cf
+
+        xt, _ = self._cf_inputs(pts, vd)
+        # stop_gradient: the kernel has no VJP, and none is wanted — the
+        # coarse loss term is dropped and sample_pdf stop-gradients the
+        # weights. Without this, value_and_grad still demands a JVP rule
+        # while linearizing the primal trace.
+        return ngp_fused_sigma_cf(
+            jax.lax.stop_gradient(self._fused_params(params)),
+            xt, self.ngp_config.cp,
+            self.ngp_config.fused_block or DEFAULT_BLOCK,
+            interpret=jax.default_backend() != "tpu",
+        )
+
     def cf_apply_fns(self):
-        """(coarse_cf, fine_cf) for render_rays — None unless fused."""
+        """(coarse_cf, fine_cf) for render_rays — None unless fused. The
+        coarse entry drops to the density-only kernel when the coarse pass
+        is proposal-only (coarse_loss_weight 0 AND a fine pass exists in
+        both train and validation settings): its rgb is then never read —
+        skipping the color MLP + in-kernel SH basis is pure savings. The
+        loss_coarse metric under this mode is the background-composite MSE
+        (documented in STATUS.md), not a radiance error."""
         if not self.fused:
             return None, None
-        return self.apply_cf, self.apply_cf
+        nerf = self.cfg.nerf
+        sigma_only = (
+            self.resolved_coarse_loss_weight() == 0.0
+            and nerf.train.num_fine > 0
+            and nerf.validation.num_fine > 0
+        )
+        coarse = self.apply_sigma_cf if sigma_only else self.apply_cf
+        return coarse, self.apply_cf
 
     def resolved_coarse_loss_weight(self) -> float:
         """NGP default 0.0: passes share parameters, so the coarse MSE is a

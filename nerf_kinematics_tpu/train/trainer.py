@@ -84,6 +84,18 @@ class Trainer:
             rep = replicated_sharding(self.mesh)
             self.images = jax.device_put(self.images, rep)
             self.poses = jax.device_put(self.poses, rep)
+        self.ray_buf = None
+        if cfg.nerf.train.pixel_sampler == "shuffled":
+            from .loop import build_shuffled_ray_buffer
+
+            self.ray_buf = build_shuffled_ray_buffer(
+                self.images, self.poses, ds.intrinsics,
+                seed=cfg.experiment.randomseed,
+            )
+            if self.mesh is not None:
+                self.ray_buf = jax.device_put(
+                    self.ray_buf, replicated_sharding(self.mesh)
+                )
 
     # ------------------------------------------------------------------
     def init_or_resume(self) -> TrainState:
@@ -173,10 +185,14 @@ class Trainer:
         while it < total:
             k = min(chunk, total - it)
             if k == chunk and chunk > 1:
-                state, metrics = self._train_many(state, self.images, self.poses)
+                state, metrics = self._train_many(
+                    state, self.images, self.poses, self.ray_buf
+                )
             else:
                 for _ in range(k):
-                    state, metrics = self._train_step(state, self.images, self.poses)
+                    state, metrics = self._train_step(
+                        state, self.images, self.poses, self.ray_buf
+                    )
             it += k
             if occ_every and (it % occ_every) < k and it >= occ_every:
                 # Full sweep on the first refresh and every occ_full_every

@@ -61,14 +61,14 @@ def main() -> None:
     for n in (8, 40):
         many = engine.make_train_many(ds.intrinsics, ds.near, ds.far,
                                       ds.use_ndc, steps_per_call=n)
-        compiled = many.lower(state, images, poses).compile()
+        compiled = many.lower(state, images, poses, trainer.ray_buf).compile()
         s = state
         for _ in range(2):
-            s, m = compiled(s, images, poses)
+            s, m = compiled(s, images, poses, trainer.ray_buf)
             float(m["loss"])
         t0 = time.perf_counter()
         for _ in range(3):
-            s, m = compiled(s, images, poses)
+            s, m = compiled(s, images, poses, trainer.ray_buf)
             float(m["loss"])
         times[n] = (time.perf_counter() - t0) / 3
         state = engine.init_state(0)

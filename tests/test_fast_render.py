@@ -163,7 +163,9 @@ def test_fast_render_batch_sharded_matches_per_frame(tmp_path):
     for k in (0, 3, 7):
         ref = single(state.params, poses[k], state.aux)["rgb"]
         np.testing.assert_allclose(
-            np.asarray(out["rgb"][k]), np.asarray(ref), atol=2e-5
+            # vmap changes XLA fusion boundaries, so bf16-accumulated
+            # composites differ at ~1e-4 from the single-frame render.
+            np.asarray(out["rgb"][k]), np.asarray(ref), atol=2e-4
         )
 
 

@@ -232,3 +232,25 @@ def test_block_clamp_small_inputs():
     out_big = ngp_fused_apply_cf(raw, xt, vd, cfg.cp, 4096, True)
     np.testing.assert_allclose(np.asarray(out_small), np.asarray(out_big),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_sigma_only_kernel_matches_full():
+    """Density-only forward: row 3 identical to the full kernel, rgb rows
+    zero — the proposal-only coarse pass contract."""
+    from nerf_kinematics_tpu.ops.ngp_fused_pallas import (
+        ngp_fused_apply_cf,
+        ngp_fused_sigma_cf,
+    )
+
+    cfg = _cfg(fused="on")
+    e_f, _, params = _engines()
+    raw = e_f._fused_params(params)
+    key = jax.random.PRNGKey(7)
+    xt = jax.random.uniform(key, (3, 300))
+    vd = jax.random.normal(key, (3, 300))
+    vd = vd / jnp.linalg.norm(vd, axis=0, keepdims=True)
+    full = ngp_fused_apply_cf(raw, xt, vd, cfg.cp, 256, True)
+    sig = ngp_fused_sigma_cf(raw, xt, cfg.cp, 256, True)
+    np.testing.assert_allclose(np.asarray(sig[3]), np.asarray(full[3]),
+                               rtol=1e-6, atol=1e-6)
+    assert not np.any(np.asarray(sig[0:3]))

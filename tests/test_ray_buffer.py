@@ -1,0 +1,109 @@
+"""Shuffled pixel-sampler tests: the precomputed ray buffer must contain
+exactly the per-pixel rays/targets of the random path (same camera model),
+just globally permuted, and the train step must consume it."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_kinematics_tpu.cameras.rays import get_rays
+from nerf_kinematics_tpu.train.loop import build_shuffled_ray_buffer
+
+
+class _Intr:
+    def __init__(self, h, w, fl):
+        self.height, self.width = h, w
+        self.fl_x = self.fl_y = fl
+        self.cx, self.cy = w / 2.0, h / 2.0
+
+
+def _poses(n):
+    rng = np.random.default_rng(0)
+    poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    poses[:, :3, 3] = rng.normal(size=(n, 3))
+    return jnp.asarray(poses)
+
+
+def test_buffer_matches_get_rays():
+    H, W, n = 6, 5, 3
+    intr = _Intr(H, W, 7.0)
+    poses = _poses(n)
+    images = jnp.asarray(
+        np.random.default_rng(1).random((n, H, W, 3)).astype(np.float32)
+    )
+    buf = build_shuffled_ray_buffer(images, poses, intr, seed=3)
+    assert buf["rays_o"].shape == (n * H * W, 3)
+
+    # Reconstruct the unshuffled reference: per-image get_rays + pixels.
+    ref_o, ref_d, ref_t = [], [], []
+    for i in range(n):
+        ro, rd = get_rays(H, W, intr.fl_x, poses[i], cx=intr.cx, cy=intr.cy)
+        ref_o.append(np.asarray(ro).reshape(-1, 3))
+        ref_d.append(np.asarray(rd).reshape(-1, 3))
+        ref_t.append(np.asarray(images[i]).reshape(-1, 3))
+    ref = {
+        "rays_o": np.concatenate(ref_o),
+        "rays_d": np.concatenate(ref_d),
+        "target": np.concatenate(ref_t),
+    }
+    # The buffer must be a permutation of the reference rows, with the SAME
+    # permutation across all three arrays (row-wise correspondence).
+    perm = np.asarray(
+        jax.random.permutation(jax.random.PRNGKey(3), n * H * W)
+    )
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(buf[k]), ref[k][perm], rtol=1e-5, atol=1e-6,
+            err_msg=k,
+        )
+
+
+def test_shuffled_step_trains():
+    from nerf_kinematics_tpu.rendering.renderer import RenderSettings
+    from nerf_kinematics_tpu.train.config import Config
+    from nerf_kinematics_tpu.train.loop import ClassicNerf
+
+    H, W, n = 8, 8, 2
+    intr = _Intr(H, W, 9.0)
+    poses = _poses(n)
+    images = jnp.asarray(
+        np.random.default_rng(2).random((n, H, W, 3)).astype(np.float32)
+    )
+    settings = RenderSettings(num_coarse=4, num_fine=0, perturb=True,
+                              pixel_sampler="shuffled")
+    cfg = Config(nerf=dataclasses.replace(
+        Config().nerf, train=settings, num_random_rays=16,
+    ))
+    engine = ClassicNerf(cfg)
+    step = engine.make_train_step(intr, 0.5, 3.5, False, donate=False)
+    state = engine.init_state(0)
+    buf = build_shuffled_ray_buffer(images, poses, intr, seed=0)
+    s1, m1 = step(state, images, poses, buf)
+    s2, m2 = step(s1, images, poses, buf)
+    assert np.isfinite(float(m2["loss"]))
+    assert int(s2.step) == 2
+    # Missing buffer must raise, not silently fall back.
+    bad = ClassicNerf(cfg).make_train_step(intr, 0.5, 3.5, False,
+                                           donate=False)
+    with pytest.raises(ValueError, match="shuffled"):
+        bad(state, images, poses)
+
+
+def test_shuffled_offsets_cover_epoch():
+    """Step offsets tile the buffer without overlap within an epoch and
+    drift between epochs."""
+    n_total, n_rays = 40, 8
+    epoch = n_total // n_rays
+    limit = n_total - n_rays + 1
+
+    def offset(step):
+        return ((step % epoch) * n_rays + (step // epoch) * 4099) % limit
+
+    first = [offset(s) for s in range(epoch)]
+    assert first == [0, 8, 16, 24, 32]
+    second = [offset(s) for s in range(epoch, 2 * epoch)]
+    assert second != first  # epoch drift
+    assert all(0 <= o <= limit - 1 for o in second)
