@@ -145,8 +145,11 @@ def _tiny_ngp_cfg(tmpdir: str):
             occ_proposal="hull",
         ),
         nerf=NeRFConfig(
+            # shuffled = the flagship recipe's sampler; Trainer builds and
+            # threads the ray buffer, so the fit-parity test covers it.
             train=RenderSettings(num_coarse=8, num_fine=8,
-                                 merge_hierarchical=False),
+                                 merge_hierarchical=False,
+                                 pixel_sampler="shuffled"),
             validation=RenderSettings(num_coarse=8, num_fine=8, perturb=False,
                                       merge_hierarchical=False),
             num_random_rays=128,
