@@ -230,6 +230,14 @@ class Trainer:
             if exp.save_every > 0 and ((it % exp.save_every) < k or it == total):
                 self.save_checkpoint(state, it, last_metrics, val_psnr)
 
+        # Final val-MEAN over the whole split: the per-step val/psnr scalar
+        # is view 0 only, whose run-to-run spread measures ±0.4 dB on
+        # machina400 — the mean is the robust quality figure.
+        if len(ds.val_idx) > 1:
+            mean = self.evaluate_split(state, "val")["mean_psnr"]
+            self.writer.scalar("val/psnr_mean", mean, it)
+            progress(log, "final val mean psnr %.2f dB over %d views",
+                     mean, len(ds.val_idx))
         self.writer.flush()
         success(log, "training done at step %d (val psnr %s)", total,
                 f"{val_psnr:.2f}" if val_psnr is not None else "n/a")

@@ -92,18 +92,32 @@ def test_shuffled_step_trains():
         bad(state, images, poses)
 
 
-def test_shuffled_offsets_cover_epoch():
-    """Step offsets tile the buffer without overlap within an epoch and
-    drift between epochs."""
-    n_total, n_rays = 40, 8
-    epoch = n_total // n_rays
-    limit = n_total - n_rays + 1
+def test_shuffled_windows_vary_per_step():
+    """Consecutive steps draw different random windows (batch composition
+    must not repeat per epoch — sequential consumption measurably degrades
+    long runs, see sample_batch_shuffled)."""
+    from nerf_kinematics_tpu.rendering.renderer import RenderSettings
+    from nerf_kinematics_tpu.train.config import Config
+    from nerf_kinematics_tpu.train.loop import ClassicNerf
 
-    def offset(step):
-        return ((step % epoch) * n_rays + (step // epoch) * 4099) % limit
-
-    first = [offset(s) for s in range(epoch)]
-    assert first == [0, 8, 16, 24, 32]
-    second = [offset(s) for s in range(epoch, 2 * epoch)]
-    assert second != first  # epoch drift
-    assert all(0 <= o <= limit - 1 for o in second)
+    H, W, n = 8, 8, 2
+    intr = _Intr(H, W, 9.0)
+    poses = _poses(n)
+    images = jnp.asarray(
+        np.random.default_rng(5).random((n, H, W, 3)).astype(np.float32)
+    )
+    settings = RenderSettings(num_coarse=4, num_fine=0, perturb=True,
+                              pixel_sampler="shuffled")
+    cfg = Config(nerf=dataclasses.replace(
+        Config().nerf, train=settings, num_random_rays=16,
+    ))
+    engine = ClassicNerf(cfg)
+    step = engine.make_train_step(intr, 0.5, 3.5, False, donate=False)
+    buf = build_shuffled_ray_buffer(images, poses, intr, seed=0)
+    state = engine.init_state(0)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, images, poses, buf)
+        losses.append(float(m["loss"]))
+    # Different random windows → different batches → different losses.
+    assert len(set(losses)) > 1
