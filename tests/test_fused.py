@@ -254,3 +254,53 @@ def test_sigma_only_kernel_matches_full():
     np.testing.assert_allclose(np.asarray(sig[3]), np.asarray(full[3]),
                                rtol=1e-6, atol=1e-6)
     assert not np.any(np.asarray(sig[0:3]))
+
+
+def test_fused_fold_cap_grads_match_unfused():
+    """F < table_size dup-row path: with fold_cap the wrap row sits INSIDE
+    the parameter table (a dead row of its own level) — fold_dlines must
+    route the wrap gradient to row 0 and leave the dead row at zero."""
+    from nerf_kinematics_tpu.train.config import Config
+
+    def cfgs(fused):
+        c = NGPConfig(
+            encoder="cp_pallas",
+            cp=CPGridConfig(n_levels=3, n_components=16, base_resolution=8,
+                            max_resolution=64, table_size=48, fold_cap=32,
+                            use_bf16=False),
+            density_width=32, density_layers=3, density_out=16,
+            color_width=32, color_layers=3, sh_degree=4,
+            fused=fused,
+        )
+        return Config(engine="ngp", ngp=c)
+
+    e_f = NGPEngine(cfgs("on"), scene_bound=1.0)
+    e_u = NGPEngine(cfgs("off"), scene_bound=1.0)
+    params = e_f.init_state(0).params["coarse"]
+    # fold_cap=32 < table_size=48: the R=64 level folds into 32 rows,
+    # exercising the F < T branch of fold_dlines.
+    assert e_f.ngp_config.cp.level_fold(64) == 32 < 48
+
+    key = jax.random.PRNGKey(11)
+    pts = jax.random.uniform(key, (64, 3), minval=-1.0, maxval=1.0)
+    vd = jax.random.normal(key, (64, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    tgt = jax.random.uniform(key, (64, 3))
+
+    def loss(engine):
+        def f(p):
+            rgb, sigma = engine.apply_coarse(p, pts, vd)
+            return (jnp.mean((jax.nn.sigmoid(rgb) - tgt) ** 2)
+                    + 1e-3 * jnp.mean(jnp.log1p(sigma)))
+        return f
+
+    g_f = jax.grad(loss(e_f))(params)
+    g_u = jax.grad(loss(e_u))(params)
+    flat_u = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_u)}
+    for k, v in jax.tree_util.tree_leaves_with_path(g_f):
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_u[ks]), rtol=5e-4, atol=5e-6,
+            err_msg=f"gradient mismatch at {ks}",
+        )
