@@ -40,12 +40,14 @@ class RenderSettings:
     merge_hierarchical: bool = True
     # Ray-batch source (train phase only): "random" gathers random pixels
     # from the image stack each step (reference semantics — instant-ngp
-    # samples pixels with replacement); "shuffled" iterates a precomputed
-    # globally-shuffled per-pixel ray buffer with a dynamic_slice. Random
-    # gathers run at ~140M elem/s on TPU (~1.3 ms/step at 8k rays);
-    # the slice is free. Shuffle-once + sequential consumption is the
-    # original NeRF data order (its ray batching does exactly this), with
-    # a per-epoch offset drift standing in for the end-of-epoch reshuffle.
+    # samples pixels with replacement; the SHIPPED default); "shuffled"
+    # slices a precomputed globally-shuffled per-pixel ray buffer
+    # (train/loop.py::build_shuffled_ray_buffer) — saves the ~0.2 ms/step
+    # the random gather costs at 8k rays, but is EXPERIMENTAL: window
+    # batches drawn from one fixed permutation measurably underperform iid
+    # gathers on some machina configs (24-sample budgets @10k: −3 dB;
+    # sequential consumption instead decays 30k runs) — batch composition
+    # statistics matter in ways a fixed permutation does not reproduce.
     pixel_sampler: str = "random"
 
     @classmethod
