@@ -180,11 +180,11 @@ def main() -> None:
         float(np.asarray(outs[-1]).sum())
         sustained_ms = (time.perf_counter() - t0) / 16 * 1e3
 
-        # Serving recipe measured iso-quality on machina400 (scripts/
-        # fast_render_bench.py, logs/sweeps/fast_render_fg_r3.log):
+        # Serving recipe measured on machina400 (scripts/
+        # fast_render_bench.py, logs/sweeps/fast_render_fg_r3b.log):
         # contrast-scored foreground compaction at fg=0.35 with the saved
-        # fine budget re-spent on depth (fine 48->64) renders 35.88 dB vs
-        # the standard render's 35.86 at ~2x the sustained fps.
+        # fine budget re-spent on depth (fine 48->64) renders +0.23 dB
+        # OVER the standard render at ~1.6x its sustained fps (32 vs 19.8).
         from nerf_kinematics_tpu.rendering.fast_render import (
             FastRenderSettings,
         )
