@@ -49,6 +49,11 @@ class FlexibleNeRFConfig:
     # bf16 roughly quadruples TPU matmul throughput; outputs are cast back
     # to f32 before compositing (raw2outputs stays full precision).
     compute_dtype: str = "float32"
+    # Fused Pallas point pipeline (ops/classic_fused_pallas.py):
+    # "auto" = use it on TPU when the config is supported (use_viewdirs,
+    # no skip concat); "on" forces it (interpret mode off-TPU — tests);
+    # "off" keeps the flax module everywhere.
+    fused: str = "auto"
 
     @property
     def dim_xyz(self) -> int:

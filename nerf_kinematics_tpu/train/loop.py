@@ -128,11 +128,71 @@ class ClassicNerf:
         occupancy acceleration."""
         return None
 
+    def _classic_fused_params(self, flax_params, mcfg):
+        """Flax param dict → the {"W": [...], "b": [...]} structure of
+        classic_fused_apply_cf (pure pytree restructuring — autodiff
+        transposes it exactly, so fused custom-VJP gradients land back on
+        the flax leaves)."""
+        p = flax_params["params"]
+        names = (
+            ["layer1"]
+            + [f"layers_xyz_{i}" for i in range(mcfg.trunk_depth - 1)]
+            + ["fc_alpha", "fc_feat", "layers_dir_0", "fc_rgb"]
+        )
+        return {
+            "W": [p[n]["kernel"] for n in names],
+            "b": [p[n]["bias"][:, None] for n in names],
+        }
+
     def cf_apply_fns(self):
         """Optional channels-first fused entries (coarse_cf, fine_cf) for
-        render_rays' hot path — (None, None) unless an engine provides a
-        fused kernel (NGPEngine with ngp.fused)."""
-        return None, None
+        render_rays' hot path. The classic engine uses the fused Pallas
+        point pipeline (ops/classic_fused_pallas.py) per each model's
+        ``fused`` mode: "auto" engages it on TPU only (off-TPU interpret
+        mode is for tests; CPU test goldens keep the flax path), "on"
+        forces it, "off" disables. NGPEngine overrides with its own
+        kernel."""
+        import jax as _jax
+
+        from ..ops.classic_fused_pallas import (
+            DEFAULT_BLOCK,
+            classic_fused_apply_cf,
+            fused_supported,
+        )
+
+        on_tpu = _jax.default_backend() == "tpu"
+
+        def make(model):
+            if model is None:
+                return None
+            mcfg = model.config
+            mode = getattr(mcfg, "fused", "off")
+            # YAML parses bare on/off as booleans — normalize.
+            mode = {True: "on", False: "off"}.get(mode, mode)
+            if mode == "off" or not fused_supported(mcfg):
+                return None
+            if mode == "auto" and not on_tpu:
+                return None
+
+            def apply_cf(params, pts, vd):
+                x = jax.lax.stop_gradient(pts).reshape(-1, 3).T
+                vdt = jax.lax.stop_gradient(vd).reshape(-1, 3).T
+                return classic_fused_apply_cf(
+                    self._classic_fused_params(params, mcfg), x, vdt,
+                    mcfg, DEFAULT_BLOCK, interpret=not on_tpu,
+                )
+
+            return apply_cf
+
+        coarse = make(self.model_coarse)
+        if self.model_fine is None:
+            return coarse, coarse
+        fine = make(self.model_fine)
+        if (coarse is None) != (fine is None):
+            # Mixed support would let render_rays' fallback pair one
+            # model's closure with the other's params — keep both unfused.
+            return None, None
+        return coarse, fine
 
     def resolved_coarse_loss_weight(self) -> float:
         """nerf.coarse_loss_weight with -1 resolved to the engine default.

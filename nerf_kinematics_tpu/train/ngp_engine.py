@@ -53,6 +53,8 @@ class NGPEngine(ClassicNerf):
         # Scene contraction (ops/contraction.py) — the cascade equivalent for
         # aabb_scale > 2. Resolved once, statically, per engine instance.
         mode = self.ngp_config.contraction
+        # YAML parses bare on/off as booleans — normalize.
+        mode = {True: "on", False: "off"}.get(mode, mode)
         self.contracted = mode == "on" or (mode == "auto" and self.scene_bound > 2.0)
         self._inner = float(self.ngp_config.contract_inner) or max(
             1.0, self.scene_bound / 4.0
@@ -142,6 +144,8 @@ class NGPEngine(ClassicNerf):
     @property
     def fused(self) -> bool:
         mode = self.ngp_config.fused
+        # YAML parses bare on/off as booleans — normalize.
+        mode = {True: "on", False: "off"}.get(mode, mode)
         return mode == "on" or (
             mode == "auto"
             and self.ngp_config.resolved_encoder() == "cp_pallas"

@@ -1,0 +1,147 @@
+"""Classic fused point-pipeline parity (ops/classic_fused_pallas.py):
+values and every parameter gradient must match the flax FlexibleNeRF —
+interpret mode on CPU."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_kinematics_tpu.models.flexible_nerf import (
+    FlexibleNeRF,
+    FlexibleNeRFConfig,
+)
+from nerf_kinematics_tpu.ops.classic_fused_pallas import (
+    classic_fused_apply_cf,
+    fused_supported,
+)
+from nerf_kinematics_tpu.rendering.renderer import RenderSettings
+from nerf_kinematics_tpu.train.config import Config, NeRFConfig
+from nerf_kinematics_tpu.train.loop import ClassicNerf
+
+
+def _setup(num_layers=8, l_xyz=4, l_dir=2):
+    cfg = FlexibleNeRFConfig(num_layers=num_layers, hidden_size=32,
+                             num_encoding_fn_xyz=l_xyz,
+                             num_encoding_fn_dir=l_dir, fused="on")
+    model = FlexibleNeRF(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (40, 3), minval=-1.0, maxval=1.0)
+    vd = jax.random.normal(key, (40, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    params = model.init(jax.random.PRNGKey(1), x, vd)
+    return cfg, model, params, x, vd
+
+
+def _fused_out(cfg, params, x, vd):
+    eng = ClassicNerf(Config(model_coarse=cfg, model_fine=None))
+    raw = eng._classic_fused_params(params, cfg)
+    return classic_fused_apply_cf(raw, x.T, vd.T, cfg, 128, True)
+
+
+def test_classic_fused_matches_flax_forward():
+    cfg, model, params, x, vd = _setup()
+    assert fused_supported(cfg)
+    rgb, sigma = model.apply(params, x, vd)
+    out = _fused_out(cfg, params, x, vd)
+    np.testing.assert_allclose(np.asarray(out[0:3].T), np.asarray(rgb),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out[3]), np.asarray(sigma),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_classic_fused_matches_flax_gradients():
+    cfg, model, params, x, vd = _setup()
+    eng = ClassicNerf(Config(model_coarse=cfg, model_fine=None))
+    tgt = jax.random.uniform(jax.random.PRNGKey(2), (40, 3))
+
+    def loss_flax(p):
+        rgb, sigma = model.apply(p, x, vd)
+        return (jnp.mean((jax.nn.sigmoid(rgb) - tgt) ** 2)
+                + 1e-3 * jnp.mean(sigma**2))
+
+    def loss_fused(p):
+        out = classic_fused_apply_cf(
+            eng._classic_fused_params(p, cfg), x.T, vd.T, cfg, 128, True
+        )
+        rgb, sigma = out[0:3].T, out[3]
+        return (jnp.mean((jax.nn.sigmoid(rgb) - tgt) ** 2)
+                + 1e-3 * jnp.mean(sigma**2))
+
+    g_u = jax.grad(loss_flax)(params)
+    g_f = jax.grad(loss_fused)(params)
+    flat_u = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_u)}
+    leaves = jax.tree_util.tree_leaves_with_path(g_f)
+    assert leaves
+    for k, v in leaves:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_u[ks]), rtol=5e-4, atol=5e-6,
+            err_msg=f"gradient mismatch at {ks}",
+        )
+        if "bias" not in ks:
+            assert np.abs(np.asarray(v)).max() > 0, f"zero grad at {ks}"
+
+
+def test_classic_fused_gates():
+    # skip concat fires at depth >= 5 -> unsupported.
+    deep = FlexibleNeRFConfig(num_layers=12)
+    assert not fused_supported(deep)
+    # no-viewdirs path unsupported.
+    assert not fused_supported(
+        dataclasses.replace(FlexibleNeRFConfig(), use_viewdirs=False)
+    )
+    # engine gating: "auto" stays off the fused path off-TPU (CPU tests).
+    eng = ClassicNerf(Config(
+        model_coarse=FlexibleNeRFConfig(fused="auto"),
+        model_fine=FlexibleNeRFConfig(fused="auto"),
+    ))
+    assert eng.cf_apply_fns() == (None, None)
+    # "on" forces it (interpret mode off-TPU).
+    eng_on = ClassicNerf(Config(
+        model_coarse=FlexibleNeRFConfig(fused="on"),
+        model_fine=FlexibleNeRFConfig(fused="on"),
+    ))
+    c, f = eng_on.cf_apply_fns()
+    assert c is not None and f is not None
+
+
+def test_classic_fused_train_step_runs():
+    """End-to-end: a ClassicNerf train step with fused='on' matches the
+    unfused step's loss trajectory on the same data (interpret mode)."""
+    def cfgpair(mode):
+        m = FlexibleNeRFConfig(num_layers=8, hidden_size=16,
+                               num_encoding_fn_xyz=2, num_encoding_fn_dir=1,
+                               fused=mode)
+        return Config(
+            model_coarse=m, model_fine=m,
+            nerf=dataclasses.replace(
+                Config().nerf,
+                train=RenderSettings(num_coarse=4, num_fine=4, perturb=True,
+                                     merge_hierarchical=False),
+                num_random_rays=32,
+            ),
+        )
+
+    class _Intr:
+        height = width = 8
+        fl_x = fl_y = 9.0
+        cx = cy = 4.0
+
+    images = jnp.asarray(
+        np.random.default_rng(3).random((2, 8, 8, 3)).astype(np.float32)
+    )
+    poses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (2, 1, 1))
+    poses = poses.at[:, 2, 3].set(2.0)
+
+    losses = {}
+    for mode in ("on", "off"):
+        eng = ClassicNerf(cfgpair(mode))
+        step = eng.make_train_step(_Intr(), 0.5, 3.5, False, donate=False)
+        state = eng.init_state(0)
+        for _ in range(2):
+            state, m = step(state, images, poses)
+        losses[mode] = float(m["loss"])
+    np.testing.assert_allclose(losses["on"], losses["off"], rtol=1e-3)
