@@ -105,6 +105,21 @@ class NGPConfig:
         shared = set(CPGridConfig.__dataclass_fields__) & grid_keys
         cp_kwargs.update({k: v for k, v in d.items() if k in shared})
         cp = CPGridConfig(**cp_kwargs)
+        # Optional nested ``grid:`` / ``cp:`` sections override per-encoder
+        # (shared flat names like n_levels hit both; nesting lets e.g.
+        # fox_ngp shape the CP encoder while keeping the reference-exact
+        # hash-grid dims pinned for ``encoder: hash``).
+        import dataclasses as _dc
+
+        if isinstance(d.get("grid"), dict):
+            grid = _dc.replace(
+                grid, **{k: v for k, v in d["grid"].items() if k in grid_keys}
+            )
+        if isinstance(d.get("cp"), dict):
+            all_cp = set(CPGridConfig.__dataclass_fields__)
+            cp = _dc.replace(
+                cp, **{k: v for k, v in d["cp"].items() if k in all_cp}
+            )
         own = set(cls.__dataclass_fields__) - {"grid", "cp"}
         return cls(grid=grid, cp=cp, **{k: v for k, v in d.items() if k in own})
 
