@@ -101,3 +101,41 @@ def test_encoder_auto_resolves_to_cp_on_cpu():
     model = NGPModel(NGPConfig(encoder="auto", cp=_small_ngp().cp))
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)), jnp.zeros((1, 3)))
     assert any(k.startswith("cp_lines") for k in params["params"])
+
+
+def test_sigma_only_coarse_engagement():
+    """cf_apply_fns drops to the density-only kernel exactly when the
+    coarse pass is proposal-only (cw=0 AND fine passes exist), and keeps
+    the full kernel when the coarse loss is live."""
+    import dataclasses
+
+    from nerf_kinematics_tpu.models.ngp import NGPConfig
+    from nerf_kinematics_tpu.ops.cp_grid import CPGridConfig
+    from nerf_kinematics_tpu.rendering.renderer import RenderSettings
+    from nerf_kinematics_tpu.train.config import Config, NeRFConfig
+    from nerf_kinematics_tpu.train.ngp_engine import NGPEngine
+
+    def cfg(cw):
+        return Config(
+            engine="ngp",
+            ngp=NGPConfig(
+                encoder="cp_pallas", fused="on",
+                cp=CPGridConfig(n_levels=2, n_components=8,
+                                base_resolution=4, max_resolution=16,
+                                table_size=32),
+            ),
+            nerf=NeRFConfig(
+                train=RenderSettings(num_coarse=4, num_fine=4),
+                validation=RenderSettings(num_coarse=4, num_fine=4,
+                                          perturb=False),
+                coarse_loss_weight=cw,
+            ),
+        )
+
+    eng0 = NGPEngine(cfg(0.0), scene_bound=1.0)
+    c0, f0 = eng0.cf_apply_fns()
+    assert c0 == eng0.apply_sigma_cf and f0 == eng0.apply_cf
+
+    eng1 = NGPEngine(cfg(0.5), scene_bound=1.0)
+    c1, f1 = eng1.cf_apply_fns()
+    assert c1 == eng1.apply_cf and f1 == eng1.apply_cf

@@ -81,3 +81,45 @@ def test_lr_schedule_decay():
     assert sched(0) == pytest.approx(cfg.optimizer.lr)
     # After lr_decay*1000 steps, lr has decayed by lr_decay_factor.
     assert sched(250_000) == pytest.approx(cfg.optimizer.lr * 0.1)
+
+
+def test_fit_logs_val_mean(tmp_path):
+    """Trainer.fit ends with a val/psnr_mean scalar over the whole val
+    split (view-0 val/psnr alone has ±0.4 dB run-to-run spread)."""
+    import dataclasses
+    import json
+    import os
+
+    from nerf_kinematics_tpu.data.synthetic import make_synthetic_scene
+    from nerf_kinematics_tpu.models.flexible_nerf import FlexibleNeRFConfig
+    from nerf_kinematics_tpu.rendering.renderer import RenderSettings
+    from nerf_kinematics_tpu.train.config import (
+        Config,
+        ExperimentConfig,
+        NeRFConfig,
+    )
+    from nerf_kinematics_tpu.train.trainer import Trainer
+
+    ds = make_synthetic_scene(n_views=6, resolution=16)
+    assert len(ds.val_idx) > 1
+    m = FlexibleNeRFConfig(num_layers=2, hidden_size=8,
+                           num_encoding_fn_xyz=2, num_encoding_fn_dir=1)
+    cfg = Config(
+        model_coarse=m, model_fine=None,
+        nerf=NeRFConfig(
+            train=RenderSettings(num_coarse=4, num_fine=0),
+            validation=RenderSettings(num_coarse=4, num_fine=0,
+                                      perturb=False),
+            num_random_rays=32,
+        ),
+        experiment=ExperimentConfig(id="valmean", logdir=str(tmp_path),
+                                    train_iters=4, print_every=2,
+                                    validate_every=0, save_every=0),
+    )
+    t = Trainer(cfg, dataset=ds)
+    t.fit()
+    t.close()
+    tags = [json.loads(line)["tag"]
+            for line in open(os.path.join(str(tmp_path), "valmean",
+                                          "metrics.jsonl"))]
+    assert "val/psnr_mean" in tags
