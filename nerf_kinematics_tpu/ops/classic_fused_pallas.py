@@ -45,19 +45,14 @@ DEFAULT_BLOCK = 4096
 def fused_supported(cfg: FlexibleNeRFConfig) -> bool:
     """True when the fused kernel implements this config exactly.
 
-    bf16 is excluded: Mosaic on v5e rejects bf16 dot_generals with >64
-    output sublanes (f32-acc trips a 'vector.broadcast' element-type
-    verifier error; bf16-acc an invalid tpu.matmul accumulator), and the
-    classic trunk is 128 wide. Measured ordering makes this loss minor:
-    f32 FUSED (6.2 ms on machina_llff 2048×64+128) beats bf16 UNFUSED
-    (8.7 ms) and halves f32 unfused (12.6 ms) — bf16 configs fall back
-    to the XLA path rather than crash."""
+    bf16 runs through 64-output-sublane chunked dots (see the note above
+    _dot_in) — the Mosaic wide-bf16-dot limitation is worked around, not
+    hit."""
     skip_fires = any(
         i % cfg.skip_connect_every == 0 and i > 0
         for i in range(cfg.trunk_depth - 1)
     )
-    return (cfg.use_viewdirs and not skip_fires
-            and cfg.compute_dtype != "bfloat16")
+    return cfg.use_viewdirs and not skip_fires
 
 
 def _pe_rows(xt, num_freqs: int, include_input: bool, log_sampling: bool):
@@ -81,31 +76,94 @@ def _pe_rows(xt, num_freqs: int, include_input: bool, log_sampling: bool):
     return jnp.concatenate(rows, axis=0)
 
 
+# Mosaic on v5e rejects bf16 dot_generals with >64 OUTPUT sublanes (f32
+# accumulators trip a 'vector.broadcast' element-type verifier error;
+# bf16 accumulators an invalid tpu.matmul), and ALSO bf16 dots whose
+# contraction dim is sub-tile (< 16, e.g. the 3-row rgb / 1-row sigma head
+# cotangents). 64-out chunks are the proven wide shape — BUT lane-slicing
+# a loaded VALUE gets re-merged by the canonicalizer into the illegal wide
+# dot, while slicing the REF (a subview load) or sublane-slicing a value
+# survives (probed directly on v5e). So: bf16 wide dots run as chunked
+# loads/slices below, tiny-dim dots stay f32 (their FLOPs are negligible),
+# f32 takes the plain single dot. ``W`` may be a pallas ref or a value.
+
+
+def _loadW(W):
+    # Full load for a ref; identity slice for an already-loaded value.
+    return W[...]
+
+
 def _dot_in(W, h, wdtype):
     """(in, out) × (in, B) → (out, B) f32, contracting `in` (sublanes
-    both). wdtype is f32 on every supported config (see fused_supported:
-    bf16 dots with >64 output sublanes fail Mosaic verification on v5e,
-    including when pre-split into 64-column chunks — the canonicalizer
-    re-merges them)."""
+    both). bf16 with out > 64: chunked over REF lane slices."""
+    dims = (((0,), (0,)), ((), ()))
+    out = W.shape[1]
+    if out < 16:                   # sub-tile output sublanes: stay f32
+        wdtype = jnp.float32
+    hc = h.astype(wdtype)
+    if wdtype == jnp.bfloat16 and out > 64:
+        return jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    W[:, j:min(j + 64, out)].astype(wdtype), hc, dims,
+                    preferred_element_type=jnp.float32,
+                )
+                for j in range(0, out, 64)
+            ],
+            axis=0,
+        )
     return jax.lax.dot_general(
-        W.astype(wdtype), h.astype(wdtype), (((0,), (0,)), ((), ())),
+        _loadW(W).astype(wdtype), hc, dims,
         preferred_element_type=jnp.float32,
     )
 
 
 def _dot_out(W, g, wdtype):
-    """(in, out) × (out, B) → (in, B), contracting `out` (backprop)."""
+    """(in, out) × (out, B) → (in, B), contracting `out` (backprop).
+    bf16 with in > 64: chunked over REF sublane slices."""
+    dims = (((1,), (0,)), ((), ()))
+    n_in = W.shape[0]
+    if W.shape[1] < 16:            # sub-tile contraction dim: stay f32
+        wdtype = jnp.float32
+    gc = g.astype(wdtype)
+    if wdtype == jnp.bfloat16 and n_in > 64:
+        return jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    W[i:min(i + 64, n_in), :].astype(wdtype), gc, dims,
+                    preferred_element_type=jnp.float32,
+                )
+                for i in range(0, n_in, 64)
+            ],
+            axis=0,
+        )
     return jax.lax.dot_general(
-        W.astype(wdtype), g.astype(wdtype), (((1,), (0,)), ((), ())),
+        _loadW(W).astype(wdtype), gc, dims,
         preferred_element_type=jnp.float32,
     )
 
 
 def _dot_acc(inp, g, wdtype):
-    """(in, B) × (out, B) → (in, out), contracting the lane (batch) dim."""
+    """(in, B) × (out, B) → (in, out), contracting the lane (batch) dim.
+    bf16 with in > 64: chunked over VALUE sublane slices of ``inp``."""
+    dims = (((1,), (1,)), ((), ()))
+    n_in = inp.shape[0]
+    if g.shape[0] < 16:            # sub-tile output lanes: stay f32
+        wdtype = jnp.float32
+    gc = g.astype(wdtype)
+    if wdtype == jnp.bfloat16 and n_in > 64:
+        return jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    inp[i:min(i + 64, n_in), :].astype(wdtype), gc, dims,
+                    preferred_element_type=jnp.float32,
+                )
+                for i in range(0, n_in, 64)
+            ],
+            axis=0,
+        )
     return jax.lax.dot_general(
-        inp.astype(wdtype), g.astype(wdtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        inp.astype(wdtype), gc, dims, preferred_element_type=jnp.float32
     )
 
 
@@ -162,7 +220,7 @@ def _forward_cf(xt, vd, Ws, bs, cfg: FlexibleNeRFConfig, wdtype,
 def _fwd_kernel(xt_ref, vd_ref, *refs, cfg: FlexibleNeRFConfig, nw: int,
                 wdtype):
     out_ref = refs[-1]
-    Ws = [refs[i][:] for i in range(nw)]
+    Ws = [refs[i] for i in range(nw)]      # refs: bf16 chunking slices them
     bs = [refs[nw + i][:] for i in range(nw)]
     out, _ = _forward_cf(xt_ref[:], vd_ref[:], Ws, bs, cfg, wdtype)
     out_ref[...] = out
@@ -170,7 +228,7 @@ def _fwd_kernel(xt_ref, vd_ref, *refs, cfg: FlexibleNeRFConfig, nw: int,
 
 def _bwd_kernel(xt_ref, vd_ref, *refs, cfg: FlexibleNeRFConfig, nw: int,
                 wdtype):
-    Ws = [refs[i][:] for i in range(nw)]
+    Ws = [refs[i] for i in range(nw)]      # refs: bf16 chunking slices them
     bs = [refs[nw + i][:] for i in range(nw)]
     g_ref = refs[2 * nw]
     outs = refs[2 * nw + 1:]

@@ -145,3 +145,16 @@ def test_classic_fused_train_step_runs():
             state, m = step(state, images, poses)
         losses[mode] = float(m["loss"])
     np.testing.assert_allclose(losses["on"], losses["off"], rtol=1e-3)
+
+
+def test_classic_fused_bf16_close_to_flax():
+    """bf16 mode (chunked Mosaic-safe dots) matches the f32 flax module to
+    bf16 tolerance, values and gradient direction."""
+    cfg, model, params, x, vd = _setup()
+    bcfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    rgb, sigma = model.apply(params, x, vd)
+    out = _fused_out(bcfg, params, x, vd)
+    np.testing.assert_allclose(np.asarray(out[0:3].T), np.asarray(rgb),
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(out[3]), np.asarray(sigma),
+                               rtol=0.05, atol=0.05)
