@@ -17,6 +17,59 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _adapt_tree(raw: Any, target: Any) -> Any:
+    """Map an orbax raw-restored tree (nested dict/list containers) onto the
+    structure of ``target``, migrating layout differences:
+
+    * container in ``raw`` where ``target`` expects a 1-D vector → ravel the
+      container's leaves in tree_flatten order and concatenate (the per-leaf
+      → flattened-optimizer moment migration);
+    * NamedTuples in ``target`` are rebuilt from raw dicts by field name
+      (orbax serializes them as dicts) or from raw sequences positionally.
+    """
+    import jax.numpy as jnp
+
+    is_leaf_target = hasattr(target, "dtype") and hasattr(target, "shape")
+    raw_is_container = isinstance(raw, (dict, list, tuple))
+    if is_leaf_target:
+        if raw_is_container:
+            leaves = jax.tree_util.tree_leaves(raw)
+            flat = jnp.concatenate([jnp.ravel(jnp.asarray(x)) for x in leaves])
+            if flat.shape != tuple(target.shape):
+                raise ValueError(
+                    f"cannot migrate checkpoint subtree: flattened size "
+                    f"{flat.shape} != expected {tuple(target.shape)}"
+                )
+            return flat.astype(target.dtype)
+        return jnp.asarray(raw, dtype=target.dtype).reshape(target.shape)
+    if target is None:
+        return None
+    if raw is None:
+        # Stateless optax nodes (EmptyState, MaskedState(EmptyState))
+        # serialize as None — keep the freshly-initialized target node.
+        if jax.tree_util.tree_leaves(target):
+            raise ValueError(
+                "cannot migrate checkpoint: saved None where arrays expected"
+            )
+        return target
+    if hasattr(target, "_fields"):  # NamedTuple (optax states)
+        fields = target._fields
+        if isinstance(raw, dict):
+            parts = [_adapt_tree(raw.get(f), getattr(target, f)) for f in fields]
+        else:
+            parts = [
+                _adapt_tree(r, getattr(target, f))
+                for r, f in zip(raw, fields)
+            ]
+        return type(target)(*parts)
+    if isinstance(target, dict):
+        return {k: _adapt_tree(raw[k], v) for k, v in target.items()}
+    if isinstance(target, (list, tuple)):
+        return type(target)(_adapt_tree(r, t) for r, t in zip(raw, target))
+    # Non-array leaf (e.g. python scalar) — pass the raw value through.
+    return raw
+
+
 class CheckpointManager:
     """Saves/restores TrainState-shaped pytrees under ``dir/checkpoint_{step}``."""
 
@@ -42,7 +95,15 @@ class CheckpointManager:
 
     def restore(self, abstract_state: Any, step: Optional[int] = None):
         """Restore into the structure of ``abstract_state`` (a concrete or
-        jax.eval_shape'd pytree). Returns (state, step) or (None, None)."""
+        jax.eval_shape'd pytree). Returns (state, step) or (None, None).
+
+        Falls back to a layout migration when the saved tree's structure
+        differs from the target: checkpoints written before the flattened
+        optimizer (optax.flatten(adam), see train/loop.make_optimizer) store
+        per-leaf Adam mu/nu trees; those are raveled into the flat vectors
+        the current optimizer expects. Exact, not approximate —
+        ravel_pytree order IS tree_flatten order, shared by both layouts.
+        """
         step = self.latest_step() if step is None else step
         if step is None:
             return None, None
@@ -52,10 +113,20 @@ class CheckpointManager:
             else x,
             abstract_state,
         )
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore({"state": abstract})
-        )
-        return restored["state"], step
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore({"state": abstract})
+            )
+            return restored["state"], step
+        except Exception:
+            raw = self._mgr.restore(step)
+            import logging
+
+            logging.getLogger("nerf_kinematics_tpu.io").warning(
+                "checkpoint %d has a different tree layout; migrating "
+                "(per-leaf optimizer moments -> flattened)", step
+            )
+            return _adapt_tree(raw["state"], abstract_state), step
 
     def close(self):
         self._mgr.close()

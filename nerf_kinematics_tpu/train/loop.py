@@ -86,7 +86,9 @@ def lr_schedule(cfg: Config):
 def make_optimizer(cfg: Config):
     if cfg.optimizer.type.lower() != "adam":
         raise ValueError(f"unsupported optimizer {cfg.optimizer.type!r}")
-    return optax.adam(learning_rate=lr_schedule(cfg))
+    # Flattened Adam: one fused update over a raveled vector instead of a
+    # kernel per coarse+fine MLP leaf (see ngp_engine._make_optimizer).
+    return optax.flatten(optax.adam(learning_rate=lr_schedule(cfg)))
 
 
 class ClassicNerf:

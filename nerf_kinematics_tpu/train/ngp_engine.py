@@ -129,8 +129,19 @@ class NGPEngine(ClassicNerf):
 
             return jax.tree_util.tree_map_with_path(keep, params)
 
+        # optax.flatten runs Adam on ONE raveled vector instead of ~15
+        # per-leaf op groups — the tcnn fused-Adam shape (reference:
+        # tiny-cuda-nn src/optimizer.cu). Step-time neutral at this param
+        # count (~180k: both layouts are tens of µs; an earlier 1.4 ms
+        # reading was the profiler's host round-trip floor, see
+        # scripts/profile_step.py), but it shrinks the HLO graph and the
+        # update math is unchanged exactly
+        # (tests/test_ngp.py::test_flat_optimizer_matches_per_leaf).
+        # Old per-leaf checkpoints migrate on restore (io/checkpoint.py).
+        # Masked weight decay stays outside: it needs the tree structure.
         return optax.chain(
-            optax.add_decayed_weights(1e-6, mask=decay_mask), adam
+            optax.add_decayed_weights(1e-6, mask=decay_mask),
+            optax.flatten(adam),
         )
 
     # -- model application with world→unit-cube mapping --------------------

@@ -105,3 +105,51 @@ def test_snapshot_rejects_garbage(tmp_path):
     p.write_bytes(b"not a snapshot")
     with pytest.raises(ValueError):
         load_snapshot(str(p))
+
+
+def test_restore_migrates_per_leaf_optimizer_layout(tmp_path):
+    """Checkpoints written with the pre-flatten optimizer (per-leaf Adam
+    mu/nu trees) must restore into the current flattened layout exactly:
+    ravel_pytree order is tree_flatten order, so the migrated flat moments
+    equal ravel_pytree of the saved trees (io/checkpoint._adapt_tree)."""
+    import optax
+    from jax.flatten_util import ravel_pytree
+
+    from nerf_kinematics_tpu.train.config import Config
+    from nerf_kinematics_tpu.train.loop import ClassicNerf, lr_schedule
+
+    cfg = Config(model_coarse=FlexibleNeRFConfig(hidden_size=32))
+    engine = ClassicNerf(cfg)
+    state = engine.init_state(0)
+
+    # Re-create the OLD layout: plain per-leaf adam, stepped once so the
+    # moments are non-trivial.
+    old_tx = optax.adam(learning_rate=lr_schedule(cfg))
+    old_opt = old_tx.init(state.params)
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.full_like(p, 1e-3) + 0.05 * p, state.params
+    )
+    updates, old_opt = old_tx.update(grads, old_opt, state.params)
+    old_params = optax.apply_updates(state.params, updates)
+    old_state = state._replace(params=old_params, opt_state=old_opt, step=7)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    mgr.save(7, old_state)
+
+    # Restore into the CURRENT (flattened) state structure.
+    restored, step = mgr.restore(engine.init_state(1))
+    assert step == 7
+    for a, b in zip(jax.tree_util.tree_leaves(old_params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # The migrated flat moments equal ravel_pytree of the per-leaf trees.
+    adam_state = next(s for s in jax.tree_util.tree_leaves(
+        restored.opt_state, is_leaf=lambda x: hasattr(x, "mu")) if hasattr(x := s, "mu"))
+    old_adam = next(s for s in jax.tree_util.tree_leaves(
+        old_opt, is_leaf=lambda x: hasattr(x, "mu")) if hasattr(x := s, "mu"))
+    np.testing.assert_allclose(
+        np.asarray(adam_state.mu), np.asarray(ravel_pytree(old_adam.mu)[0]))
+    np.testing.assert_allclose(
+        np.asarray(adam_state.nu), np.asarray(ravel_pytree(old_adam.nu)[0]))
+    mgr.close()

@@ -139,3 +139,52 @@ def test_sigma_only_coarse_engagement():
     eng1 = NGPEngine(cfg(0.5), scene_bound=1.0)
     c1, f1 = eng1.cf_apply_fns()
     assert c1 == eng1.apply_cf and f1 == eng1.apply_cf
+
+
+def test_flat_optimizer_matches_per_leaf():
+    """optax.flatten(adam) is a layout change, not a math change: one update
+    through the engine's flattened optimizer must equal the per-leaf
+    chain(masked decay, adam) it replaced (see _make_optimizer)."""
+    import optax
+
+    cfg = Config(engine="ngp", ngp=_small_ngp(),
+                 optimizer=OptimizerConfig(lr=5e-3))
+    engine = NGPEngine(cfg, scene_bound=1.0)
+    state = engine.init_state(0)
+    params = state.params
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.full_like(p, 1e-3) + 0.1 * p, params
+    )
+
+    flat_tx = engine._make_optimizer(cfg)
+
+    from nerf_kinematics_tpu.train.loop import lr_schedule
+
+    sched = lr_schedule(cfg)
+    adam = optax.adam(learning_rate=sched, b1=0.9, b2=0.99, eps=1e-15)
+
+    def decay_mask(p):
+        def keep(path, _):
+            keys = [str(getattr(q, "key", "")) for q in path]
+            if any(k == "hash_table" or k.startswith("cp_lines") for k in keys):
+                return False
+            return not (keys and keys[-1] == "bias")
+
+        return jax.tree_util.tree_map_with_path(keep, p)
+
+    leaf_tx = optax.chain(optax.add_decayed_weights(1e-6, mask=decay_mask), adam)
+
+    p_flat, p_leaf = params, params
+    s_flat, s_leaf = flat_tx.init(params), leaf_tx.init(params)
+    for _ in range(3):
+        u_flat, s_flat = flat_tx.update(grads, s_flat, p_flat)
+        p_flat = optax.apply_updates(p_flat, u_flat)
+        u_leaf, s_leaf = leaf_tx.update(grads, s_leaf, p_leaf)
+        p_leaf = optax.apply_updates(p_leaf, u_leaf)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        ),
+        p_flat, p_leaf,
+    )
