@@ -161,9 +161,17 @@ def main() -> None:
     # frames, sync once — the serving/video pattern).
     render_ms = None
     fast_ms = fast_sustained_ms = sustained_ms = None
+    eval_ms = None
     if on_tpu:
+        # Standard render pinned at 48+48 — the budget every previous
+        # round's render row used — so the figure stays comparable after
+        # the validation config moved to the denser 64+128 eval
+        # quadrature (measured separately below as render_eval_*).
+        val48 = dataclasses.replace(
+            cfg.nerf.validation, num_coarse=48, num_fine=48
+        )
         render = engine.make_render_fn(ds.intrinsics, ds.near, ds.far,
-                                       ds.use_ndc)
+                                       ds.use_ndc, settings=val48)
         rpose = jnp.asarray(ds.poses[int(ds.val_idx[0])])
         rstate = engine.init_state(0)
         out = render(rstate.params, rpose, rstate.aux)
@@ -180,6 +188,18 @@ def main() -> None:
         float(np.asarray(outs[-1]).sum())
         sustained_ms = (time.perf_counter() - t0) / 16 * 1e3
 
+        # The shipped eval budget (cfg.nerf.validation — 64+128 quadrature).
+        render_eval = engine.make_render_fn(
+            ds.intrinsics, ds.near, ds.far, ds.use_ndc
+        )
+        out = render_eval(rstate.params, rpose, rstate.aux)
+        float(np.asarray(out["rgb"]).sum())
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = render_eval(rstate.params, rpose, rstate.aux)
+            float(np.asarray(out["rgb"]).sum())
+        eval_ms = (time.perf_counter() - t0) / 5 * 1e3
+
         # Serving recipe measured on machina400 (scripts/
         # fast_render_bench.py, logs/sweeps/fast_render_fg_r3b.log):
         # contrast-scored foreground compaction at fg=0.35 with the saved
@@ -189,11 +209,15 @@ def main() -> None:
             FastRenderSettings,
         )
 
+        # The serving recipe is pinned (48-coarse / 64-fine / fg 0.35) —
+        # NOT inherited from cfg.nerf.validation, which is the *eval*
+        # budget (now denser, 64+128 quadrature) and would silently change
+        # this latency benchmark when eval quality knobs move.
         val = cfg.nerf.validation
         fast = engine.make_fast_render_fn(
             ds.intrinsics, ds.near, ds.far, ds.use_ndc,
             settings=FastRenderSettings(
-                num_coarse=val.num_coarse,
+                num_coarse=48,
                 num_fine=64,
                 fg_fraction=0.35,
                 white_background=val.white_background,
@@ -287,6 +311,12 @@ def main() -> None:
         "render_fast_fps_400px_sustained": (
             round(1e3 / fast_sustained_ms, 1) if fast_sustained_ms else None
         ),
+        # The shipped eval budget (64+128 quadrature) — denser and slower
+        # than the pinned-48+48 render rows above by design.
+        "render_eval_ms_per_frame_400px": (
+            round(eval_ms, 1) if eval_ms else None
+        ),
+        "render_eval_fps_400px": round(1e3 / eval_ms, 1) if eval_ms else None,
     }
     print(json.dumps(out))
 

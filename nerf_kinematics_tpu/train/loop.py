@@ -367,13 +367,17 @@ class ClassicNerf:
         return jax.jit(many, donate_argnums=(0,))
 
     # -- evaluation ---------------------------------------------------------
-    def make_render_fn(self, intrinsics, near, far, use_ndc: bool):
-        """Jitted full-image renderer: (params, c2w) -> maps dict."""
+    def make_render_fn(self, intrinsics, near, far, use_ndc: bool,
+                       settings=None):
+        """Jitted full-image renderer: (params, c2w) -> maps dict.
+
+        ``settings`` overrides the sample budget (defaults to
+        cfg.nerf.validation — the shipped eval-quadrature budget)."""
         from ..cameras.rays import get_rays
         from ..rendering.renderer import render_image
 
         cfg = self.cfg
-        settings = cfg.nerf.validation
+        settings = settings or cfg.nerf.validation
         H, W = intrinsics.height, intrinsics.width
         has_fine = self.model_fine is not None and settings.num_fine > 0
         cf_coarse, cf_fine = self.cf_apply_fns()
