@@ -401,14 +401,12 @@ class NGPEngine(ClassicNerf):
         so each chip loops over its local frames — the zero-traffic
         multi-chip serving shape.
 
-        Single-chip caveat (measured, v5e via the remote tunnel, 400²
-        serving recipe, controlled A/B): one batch-of-8 program runs
-        ~85-115 ms/frame where pipelined single-frame dispatches run
-        ~31-42 ms/frame — and a vmapped batch measures the same as
-        lax.map, so the gap is runtime/scheduling-level, not HLO
-        batching. On one chip prefer pipelined per-frame dispatch (the
-        ``--render-video --fast`` CLI path); use this batch entry point
-        when sharding frames across a mesh."""
+        Device time is identical to pipelined single-frame dispatch
+        (controlled A/B with device-side scalar sync, v5e, 400² serving
+        recipe: 30.6 vs 31.2 ms/frame — 32 fps both ways). When timing
+        this path, sync with an on-device reduction: materializing the
+        whole (F, H, W, 3) batch on the host pulls F × 1.9 MB through the
+        dev tunnel's ~32 MB/s D2H and masquerades as a 2.5× slowdown."""
         import jax
 
         _, render_view = self._fast_render_fns(intrinsics, near, far,
