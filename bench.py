@@ -29,6 +29,7 @@ import dataclasses
 import json
 import os
 import time
+from nerf_kinematics_tpu.train.loop import eval_params
 
 # Reference T4 throughput in samples/s: 56.78 steps/s x 2^18 samples/step.
 BASELINE_SAMPLES_PER_SEC = 56.78 * 262_144
@@ -175,15 +176,15 @@ def main() -> None:
                                        ds.use_ndc, settings=val48)
         rpose = jnp.asarray(ds.poses[int(ds.val_idx[0])])
         rstate = engine.init_state(0)
-        out = render(rstate.params, rpose, rstate.aux)
+        out = render(eval_params(rstate), rpose, rstate.aux)
         float(np.asarray(out["rgb"]).sum())          # compile + sync
         t0 = time.perf_counter()
         for _ in range(5):
-            out = render(rstate.params, rpose, rstate.aux)
+            out = render(eval_params(rstate), rpose, rstate.aux)
             float(np.asarray(out["rgb"]).sum())      # host read = sync
         render_ms = (time.perf_counter() - t0) / 5 * 1e3
         t0 = time.perf_counter()
-        outs = [render(rstate.params, rpose, rstate.aux)["rgb"]
+        outs = [render(eval_params(rstate), rpose, rstate.aux)["rgb"]
                 for _ in range(16)]
         jax.block_until_ready(outs)
         float(np.asarray(outs[-1]).sum())
@@ -196,7 +197,7 @@ def main() -> None:
         # unrepresentative of a production host (PCIe D2H makes the
         # transfer negligible). This row is the stable chip figure.
         t0 = time.perf_counter()
-        outs = [render(rstate.params, rpose, rstate.aux)["rgb"]
+        outs = [render(eval_params(rstate), rpose, rstate.aux)["rgb"]
                 for _ in range(16)]
         float(jnp.sum(outs[-1]))
         device_ms = (time.perf_counter() - t0) / 16 * 1e3
@@ -205,11 +206,11 @@ def main() -> None:
         render_eval = engine.make_render_fn(
             ds.intrinsics, ds.near, ds.far, ds.use_ndc
         )
-        out = render_eval(rstate.params, rpose, rstate.aux)
+        out = render_eval(eval_params(rstate), rpose, rstate.aux)
         float(np.asarray(out["rgb"]).sum())
         t0 = time.perf_counter()
         for _ in range(5):
-            out = render_eval(rstate.params, rpose, rstate.aux)
+            out = render_eval(eval_params(rstate), rpose, rstate.aux)
             float(np.asarray(out["rgb"]).sum())
         eval_ms = (time.perf_counter() - t0) / 5 * 1e3
 
@@ -236,21 +237,21 @@ def main() -> None:
                 white_background=val.white_background,
             ),
         )
-        out = fast(rstate.params, rpose, rstate.aux)
+        out = fast(eval_params(rstate), rpose, rstate.aux)
         float(np.asarray(out["rgb"]).sum())
         t0 = time.perf_counter()
         for _ in range(5):
-            out = fast(rstate.params, rpose, rstate.aux)
+            out = fast(eval_params(rstate), rpose, rstate.aux)
             float(np.asarray(out["rgb"]).sum())
         fast_ms = (time.perf_counter() - t0) / 5 * 1e3
         t0 = time.perf_counter()
-        outs = [fast(rstate.params, rpose, rstate.aux)["rgb"]
+        outs = [fast(eval_params(rstate), rpose, rstate.aux)["rgb"]
                 for _ in range(16)]
         jax.block_until_ready(outs)
         float(np.asarray(outs[-1]).sum())
         fast_sustained_ms = (time.perf_counter() - t0) / 16 * 1e3
         t0 = time.perf_counter()
-        outs = [fast(rstate.params, rpose, rstate.aux)["rgb"]
+        outs = [fast(eval_params(rstate), rpose, rstate.aux)["rgb"]
                 for _ in range(16)]
         float(jnp.sum(outs[-1]))                 # device-side sync
         fast_device_ms = (time.perf_counter() - t0) / 16 * 1e3
@@ -271,7 +272,7 @@ def main() -> None:
         for it in range(1, 17):  # cap 4000 steps
             state, m = many(state, images, poses, trainer.ray_buf)
             state = engine.update_occupancy(state)
-            val = float(psnr(np.asarray(render(state.params, vpose,
+            val = float(psnr(np.asarray(render(eval_params(state), vpose,
                                                 state.aux)["rgb"]), gt))
             if t_post is None:
                 t_post = time.perf_counter()  # compile done inside 1st chunk

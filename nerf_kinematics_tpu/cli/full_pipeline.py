@@ -13,6 +13,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
+
+from ..train.loop import eval_params
 import time
 
 
@@ -134,7 +136,7 @@ def main(argv=None):
         # through the dispatch channel on a remote chip (see
         # cli/run_nerf._render_video).
         dposes = [jnp.asarray(np.asarray(p)) for p in vposes]
-        outs = [trainer._render(result.state.params, p, result.state.aux)["rgb"]
+        outs = [trainer._render(eval_params(result.state), p, result.state.aux)["rgb"]
                 for p in dposes]
         frames = [np.asarray(o) for o in outs]
         vid = write_video(os.path.join(args.out, "orbit.mp4"), frames, fps=15)
@@ -148,7 +150,7 @@ def main(argv=None):
 
         mesh_path = os.path.join(args.out, "scene.ply")
         verts, tris = extract_mesh_from_engine(
-            trainer.engine, result.state.params, resolution=args.mesh_res,
+            trainer.engine, eval_params(result.state), resolution=args.mesh_res,
             iso=2.5, path=mesh_path,
         )
         print(f"[5/5] mesh: {len(verts)} verts / {len(tris)} tris → {mesh_path}")

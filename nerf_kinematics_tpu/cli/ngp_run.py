@@ -19,6 +19,8 @@ from __future__ import annotations
 import argparse
 import os
 
+from ..train.loop import eval_params
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Fast-NeRF (NGP-class) testbed driver")
@@ -146,7 +148,10 @@ def main(argv=None) -> None:
     if args.save_snapshot:
         save_snapshot(
             args.save_snapshot,
-            {"params": jax.device_get(state.params)},
+            # The snapshot carries the weights eval scored — the EMA shadow
+            # when nerf.ema_decay > 0 (instant-ngp's .ingp stores the
+            # Ema-wrapped optimizer's inference weights the same way).
+            {"params": jax.device_get(eval_params(state))},
             {"step": int(state.step), "engine": "ngp"},
         )
         print(f"Saved snapshot to {args.save_snapshot}")
@@ -161,7 +166,7 @@ def main(argv=None) -> None:
         from ..export.mesh import extract_mesh_from_engine
 
         verts, tris = extract_mesh_from_engine(
-            engine, state.params,
+            engine, eval_params(state),
             resolution=args.marching_cubes_res,
             iso=args.marching_cubes_density_thresh,
             path=args.save_mesh,
@@ -184,7 +189,7 @@ def _render_pose(trainer, state, pose, W, H):
             k1=intr.k1, k2=intr.k2, p1=intr.p1, p2=intr.p2,
         )
     render = trainer.engine.make_render_fn(intr, ds.near, ds.far, ds.use_ndc)
-    out = render(state.params, jnp.asarray(pose), state.aux)
+    out = render(eval_params(state), jnp.asarray(pose), state.aux)
     return np.clip(np.asarray(out["rgb"]) * 255, 0, 255).astype("uint8")
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 import argparse
 import os
 
+from ..train.loop import eval_params
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train/evaluate classic NeRF (TPU-native)")
@@ -179,10 +181,10 @@ def _render_video(trainer, state, fast: bool = False,
         )
         dposes_b = jnp.asarray(pose_arr)
         float(np.asarray(
-            batch(state.params, dposes_b, state.aux)["rgb"]
+            batch(eval_params(state), dposes_b, state.aux)["rgb"]
         ).sum())  # warmup incl. compile (host-read sync)
         t0 = time.perf_counter()
-        out_b = batch(state.params, dposes_b, state.aux)["rgb"]
+        out_b = batch(eval_params(state), dposes_b, state.aux)["rgb"]
         float(np.asarray(out_b).sum())
         dt = time.perf_counter() - t0
         dt = dt * n / (n + pad)  # dt covered n+pad rendered frames
@@ -191,10 +193,10 @@ def _render_video(trainer, state, fast: bool = False,
         dposes = [jnp.asarray(np.asarray(p)) for p in poses]
         jax.block_until_ready(dposes)
         float(np.asarray(
-            render(state.params, dposes[0], state.aux)["rgb"]
+            render(eval_params(state), dposes[0], state.aux)["rgb"]
         ).sum())
         t0 = time.perf_counter()
-        outs = [render(state.params, p, state.aux)["rgb"] for p in dposes]
+        outs = [render(eval_params(state), p, state.aux)["rgb"] for p in dposes]
         jax.block_until_ready(outs)
         float(np.asarray(outs[-1]).sum())  # full host sync (remote-chip safe)
         dt = time.perf_counter() - t0

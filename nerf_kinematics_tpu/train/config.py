@@ -68,6 +68,14 @@ class NeRFConfig:
     # -27% step time; the coarse pass stays forward-only for sample
     # placement). Explicit values are honored on either engine.
     coarse_loss_weight: float = -1.0
+    # Per-step exponential moving average of the parameters, used for
+    # validation/eval/serving renders (0 = off). Reference parity:
+    # instant-ngp wraps its fused Adam in an EMA for inference
+    # (configs/nerf/base.json: optimizer otype "Ema", decay 0.95 — the
+    # weights the testbed renders with are the EMA shadow, not the live
+    # Adam iterates). Training always updates the live params; the shadow
+    # costs one fused lerp per step (~0.05 ms at flagship size).
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -130,6 +138,7 @@ def config_from_dict(raw: dict) -> Config:
         encode_direction_fn=nerf_raw.get("encode_direction_fn", "positional_encoding"),
         num_random_rays=num_random_rays,
         coarse_loss_weight=float(nerf_raw.get("coarse_loss_weight", -1.0)),
+        ema_decay=float(nerf_raw.get("ema_decay", 0.0)),
     )
 
     optimizer = _filtered(OptimizerConfig, raw.get("optimizer", {}))

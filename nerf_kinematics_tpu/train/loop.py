@@ -31,6 +31,16 @@ class TrainState(NamedTuple):
     opt_state: Any
     key: jax.Array
     aux: Any = None  # engine-specific state (e.g. the NGP occupancy grid)
+    # EMA shadow of ``params`` when nerf.ema_decay > 0, else None. Rendering
+    # and eval use the shadow (instant-ngp's Ema-wrapped optimizer,
+    # configs/nerf/base.json); training always steps the live params.
+    ema: Any = None
+
+
+def eval_params(state: TrainState):
+    """Parameters to render/eval with: the EMA shadow when the run keeps one
+    (nerf.ema_decay > 0), otherwise the live training params."""
+    return state.params if state.ema is None else state.ema
 
 
 def build_shuffled_ray_buffer(images, poses, intrinsics, seed: int = 0):
@@ -115,7 +125,8 @@ class ClassicNerf:
         if self.model_fine is not None:
             params["fine"] = self.model_fine.init(k_f, x, vd)
         opt_state = self.optimizer.init(params)
-        return TrainState(jnp.int32(0), params, opt_state, k_loop)
+        ema = params if self.cfg.nerf.ema_decay > 0.0 else None
+        return TrainState(jnp.int32(0), params, opt_state, k_loop, ema=ema)
 
     def apply_coarse(self, params, pts, vd):
         return self.model_coarse.apply(params, pts, vd)
@@ -335,13 +346,21 @@ class ClassicNerf:
                 grads, state.opt_state, state.params
             )
             params = optax.apply_updates(state.params, updates)
+            ema = state.ema
+            if ema is not None:
+                d = float(self.cfg.nerf.ema_decay)
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                    ema, params,
+                )
             metrics = {
                 "loss": loss,
                 "loss_coarse": loss_c,
                 "loss_fine": loss_f,
                 "psnr": -10.0 * jnp.log10(jnp.maximum(loss_f, 1e-12)),
             }
-            return TrainState(state.step + 1, params, opt_state, key, state.aux), metrics
+            return TrainState(state.step + 1, params, opt_state, key,
+                              state.aux, ema), metrics
 
         return train_step
 

@@ -284,7 +284,8 @@ class NGPEngine(ClassicNerf):
             from ..ops.occupancy import init_grid
 
             aux = init_grid(self.ngp_config.occ_resolution, self.scene_bound)
-        return TrainState(jnp.int32(0), params, opt_state, k_loop, aux)
+        ema = params if self.cfg.nerf.ema_decay > 0.0 else None
+        return TrainState(jnp.int32(0), params, opt_state, k_loop, aux, ema)
 
     # -- occupancy acceleration -------------------------------------------
     def proposal_for(self, aux, near, far, settings):

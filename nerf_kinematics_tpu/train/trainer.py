@@ -27,7 +27,7 @@ from ..metrics.writer import ScalarWriter
 from ..parallel.mesh import make_mesh, replicated_sharding
 from ..utils.logging import get_logger, progress, success
 from .config import Config
-from .loop import ClassicNerf, TrainState
+from .loop import ClassicNerf, TrainState, eval_params
 
 log = get_logger("train")
 
@@ -113,7 +113,7 @@ class Trainer:
         if len(ds.val_idx) == 0:
             return {}
         i = int(ds.val_idx[0])
-        out = self._render(state.params, jnp.asarray(ds.poses[i]), state.aux)
+        out = self._render(eval_params(state), jnp.asarray(ds.poses[i]), state.aux)
         pred = np.asarray(out["rgb"])
         gt = ds.images[i]
         val_mse = float(np.mean((pred - gt) ** 2))
@@ -130,7 +130,7 @@ class Trainer:
         idx = {"train": ds.train_idx, "val": ds.val_idx, "test": ds.test_idx}[split]
         scores = []
         for i in idx:
-            out = self._render(state.params, jnp.asarray(ds.poses[int(i)]), state.aux)
+            out = self._render(eval_params(state), jnp.asarray(ds.poses[int(i)]), state.aux)
             scores.append(psnr(np.asarray(out["rgb"]), ds.images[int(i)]))
         return {
             "per_frame": scores,
@@ -250,11 +250,13 @@ class Trainer:
             from ..io.torch_compat import export_legacy_checkpoint
 
             path = os.path.join(self.rundir, f"checkpoint{it}.ckpt")
+            ep = eval_params(state)  # the EMA shadow when enabled — the
+            # weights validation scored are the weights the export carries.
             export_legacy_checkpoint(
                 path,
                 it,
-                jax.device_get(state.params["coarse"]),
-                jax.device_get(state.params["fine"]) if "fine" in state.params else None,
+                jax.device_get(ep["coarse"]),
+                jax.device_get(ep["fine"]) if "fine" in ep else None,
                 loss=metrics.get("loss"),
                 psnr=val_psnr,
             )

@@ -14,6 +14,7 @@ import json
 import os
 import sys
 import time
+from nerf_kinematics_tpu.train.loop import eval_params
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
@@ -59,14 +60,14 @@ def main() -> None:
     poses = [jnp.asarray(ds.poses[int(i)]) for i in ds.val_idx]
 
     def measure(render):
-        img = np.asarray(render(state.params, pose, state.aux)["rgb"])
+        img = np.asarray(render(eval_params(state), pose, state.aux)["rgb"])
         t0 = time.perf_counter()
         for _ in range(5):
             float(np.asarray(
-                render(state.params, pose, state.aux)["rgb"]).sum())
+                render(eval_params(state), pose, state.aux)["rgb"]).sum())
         latency = (time.perf_counter() - t0) / 5 * 1e3
         t0 = time.perf_counter()
-        outs = [render(state.params, poses[i % len(poses)], state.aux)["rgb"]
+        outs = [render(eval_params(state), poses[i % len(poses)], state.aux)["rgb"]
                 for i in range(args.frames)]
         jax.block_until_ready(outs)
         float(np.asarray(outs[-1]).sum())

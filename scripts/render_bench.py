@@ -19,6 +19,7 @@ import json
 import os
 import sys
 import time
+from nerf_kinematics_tpu.train.loop import eval_params
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
@@ -70,11 +71,11 @@ def main() -> None:
             ecfg, scene_bound=trainer.engine.scene_bound
         ) if ecfg.engine == "ngp" else type(trainer.engine)(ecfg)
         render = engine.make_render_fn(ds.intrinsics, ds.near, ds.far, ds.use_ndc)
-        out = render(state.params, vpose, state.aux)
+        out = render(eval_params(state), vpose, state.aux)
         img = np.asarray(out["rgb"])   # compile + sync
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            out = render(state.params, vpose, state.aux)
+            out = render(eval_params(state), vpose, state.aux)
             float(np.asarray(out["rgb"]).sum())   # host read = sync
         ms = (time.perf_counter() - t0) / args.reps * 1e3
         if ref_img is None:

@@ -9,6 +9,7 @@ report wall-clock time to PSNR milestones (the BASELINE.json
 import argparse
 import json
 import time
+from nerf_kinematics_tpu.train.loop import eval_params
 
 
 def main():
@@ -67,7 +68,7 @@ def main():
         state, m = step(state, imgs, poses)
         if it % args.eval_every == 0:
             i = int(ds.val_idx[0])
-            pred = np.asarray(render(state.params, poses[i])["rgb"])
+            pred = np.asarray(render(eval_params(state), poses[i])["rgb"])
             p = psnr(pred, ds.images[i])
             t = time.perf_counter() - t0
             print(f"step {it}: val_psnr {p:.2f} dB @ {t:.1f}s", flush=True)

@@ -123,3 +123,57 @@ def test_fit_logs_val_mean(tmp_path):
             for line in open(os.path.join(str(tmp_path), "valmean",
                                           "metrics.jsonl"))]
     assert "val/psnr_mean" in tags
+
+
+def test_param_ema_tracks_manual_average(tiny_setup):
+    """nerf.ema_decay > 0 keeps an EMA shadow of the params in
+    TrainState.ema (instant-ngp's Ema-wrapped optimizer, base.json), updated
+    as ema = d*ema + (1-d)*params each step and initialized at the init
+    params; eval_params() selects it. Verified against a manual recurrence
+    over the live param trajectory."""
+    import dataclasses
+
+    from nerf_kinematics_tpu.train.loop import eval_params
+
+    ds, engine0, _ = tiny_setup
+    d = 0.9
+    cfg = engine0.cfg.replace(
+        nerf=dataclasses.replace(engine0.cfg.nerf, ema_decay=d)
+    )
+    engine = ClassicNerf(cfg)
+    state = engine.init_state(seed=0)
+    assert state.ema is not None
+    images = jnp.asarray(ds.images)
+    poses = jnp.asarray(ds.poses)
+    step = engine.make_train_step(ds.intrinsics, ds.near, ds.far, ds.use_ndc,
+                                  donate=False)
+
+    manual = jax.tree_util.tree_map(lambda x: x, state.params)
+    for _ in range(5):
+        state, _metrics = step(state, images, poses)
+        manual = jax.tree_util.tree_map(
+            lambda e, p: e * d + p * (1 - d), manual, state.params
+        )
+    for got, want in zip(
+        jax.tree_util.tree_leaves(state.ema), jax.tree_util.tree_leaves(manual)
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+    # The shadow is what eval uses, and it differs from the live params.
+    assert eval_params(state) is state.ema
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree_util.tree_leaves(state.ema),
+                        jax.tree_util.tree_leaves(state.params))
+    ]
+    assert max(diffs) > 0.0
+
+
+def test_ema_off_keeps_state_structure(tiny_setup):
+    """Default ema_decay=0 leaves TrainState.ema = None — the pytree
+    structure (and thus orbax checkpoints and jit caches) is unchanged."""
+    ds, engine, state = tiny_setup
+    assert state.ema is None
+    from nerf_kinematics_tpu.train.loop import eval_params
+
+    assert eval_params(state) is state.params
