@@ -13,9 +13,9 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import time
 
 from ..train.loop import eval_params
-import time
 
 
 def build_parser():

@@ -128,9 +128,18 @@ def main(argv=None) -> None:
     state = engine.init_state()
 
     if args.load_snapshot:
+        from ..train.loop import init_ema_shadow
+
         payload, meta = load_snapshot(args.load_snapshot)
+        # Re-seed the EMA shadow from the loaded weights: leaving it at the
+        # random init would make every eval_params consumer (renders, mesh,
+        # re-saved snapshots) read random weights when ema_decay > 0.
         state = state._replace(
-            params=payload["params"], step=jnp.int32(meta.get("step", 0))
+            params=payload["params"],
+            ema=init_ema_shadow(
+                payload["params"], trainer.cfg.nerf.ema_decay
+            ) if state.ema is not None else None,
+            step=jnp.int32(meta.get("step", 0)),
         )
         print(f"Loaded snapshot {args.load_snapshot} at step {meta.get('step', 0)}")
 

@@ -52,15 +52,30 @@ def _adapt_tree(raw: Any, target: Any) -> Any:
                 "cannot migrate checkpoint: saved None where arrays expected"
             )
         return target
-    if hasattr(target, "_fields"):  # NamedTuple (optax states)
+    if hasattr(target, "_fields"):  # NamedTuple (optax states / TrainState)
         fields = target._fields
         if isinstance(raw, dict):
-            parts = [_adapt_tree(raw.get(f), getattr(target, f)) for f in fields]
+            raw_by_field = {f: raw.get(f) for f in fields}
         else:
-            parts = [
-                _adapt_tree(r, getattr(target, f))
-                for r, f in zip(raw, fields)
-            ]
+            raw_by_field = dict(zip(fields, list(raw) + [None] * len(fields)))
+        # Pre-EMA checkpoints resumed with ema_decay > 0: the saved
+        # TrainState has no (or a None) 'ema' subtree while the target
+        # expects a param-shaped one — seed the shadow from the restored
+        # params instead of erroring (ADVICE r3).
+        if (
+            "ema" in fields
+            and "params" in fields
+            and raw_by_field.get("ema") is None
+            and jax.tree_util.tree_leaves(getattr(target, "ema"))
+        ):
+            params = _adapt_tree(raw_by_field["params"], getattr(target, "params"))
+            import jax.numpy as jnp
+
+            raw_by_field["params"] = params
+            raw_by_field["ema"] = jax.tree_util.tree_map(
+                lambda p: jnp.array(p, copy=True), params
+            )
+        parts = [_adapt_tree(raw_by_field[f], getattr(target, f)) for f in fields]
         return type(target)(*parts)
     if isinstance(target, dict):
         return {k: _adapt_tree(raw[k], v) for k, v in target.items()}

