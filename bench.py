@@ -284,6 +284,48 @@ def main() -> None:
                 t25_post = max(now - t_post, 0.0) + chunk * step_s
                 break
 
+    # ---- reference-resolution render rows (VERDICT r3 #3) -------------
+    # The 400px rows above time an untrained state (comparable across
+    # rounds). The block-compaction top-K and the VMEM budget both have
+    # resolution-dependent behavior, so re-measure at 800x800 (4x the
+    # pixels; the reference's fox frames are 1080x1920 — see
+    # scripts/bigres_render_bench.py + logs/sweeps/bigres_render_r4.log
+    # for that exact shape on the trained fox checkpoint) on the
+    # 25dB-trained state from the loop above, including a fast-vs-standard
+    # PSNR delta on identical weights.
+    big = {}
+    if on_tpu and t25_incl is not None:
+        intr8 = ds.intrinsics.scaled(0.5)          # 400x400 -> 800x800
+        render8 = engine.make_render_fn(intr8, ds.near, ds.far, ds.use_ndc,
+                                        settings=val48)
+        fast8 = engine.make_fast_render_fn(
+            ds.intrinsics.scaled(0.5), ds.near, ds.far, ds.use_ndc,
+            settings=FastRenderSettings(
+                num_coarse=48, num_fine=64, fg_fraction=0.35,
+                white_background=cfg.nerf.validation.white_background,
+            ),
+        )
+        p = eval_params(state)
+        std_img = np.asarray(render8(p, vpose, state.aux)["rgb"])
+        fast_img = np.asarray(fast8(p, vpose, state.aux)["rgb"])
+        big["render_fast_vs_std_psnr_800px"] = round(
+            float(psnr(fast_img, std_img)), 2
+        )
+        for name, fn in (("render", render8), ("render_fast", fast8)):
+            t0 = time.perf_counter()
+            outs = [fn(p, vpose, state.aux)["rgb"] for _ in range(8)]
+            jax.block_until_ready(outs)
+            float(np.asarray(outs[-1]).sum())
+            big[f"{name}_fps_800px_sustained"] = round(
+                8e3 / ((time.perf_counter() - t0) * 1e3), 1
+            )
+            t0 = time.perf_counter()
+            outs = [fn(p, vpose, state.aux)["rgb"] for _ in range(8)]
+            float(jnp.sum(outs[-1]))             # device-side sync
+            big[f"{name}_fps_800px_device"] = round(
+                8e3 / ((time.perf_counter() - t0) * 1e3), 1
+            )
+
     out = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
@@ -345,6 +387,7 @@ def main() -> None:
         "render_fast_fps_400px_device": (
             round(1e3 / fast_device_ms, 1) if fast_device_ms else None
         ),
+        **big,
     }
     print(json.dumps(out))
 

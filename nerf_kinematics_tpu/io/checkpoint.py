@@ -119,9 +119,25 @@ class CheckpointManager:
         the current optimizer expects. Exact, not approximate —
         ravel_pytree order IS tree_flatten order, shared by both layouts.
         """
-        step = self.latest_step() if step is None else step
-        if step is None:
-            return None, None
+        import logging
+
+        log = logging.getLogger("nerf_kinematics_tpu.io")
+        if step is not None:
+            return self._restore_step(abstract_state, step)
+        # Auto-resume: an unreadable latest checkpoint (partial write, a
+        # stripped working tree) must not kill the run — fall back through
+        # older steps, loudly, and start fresh only when none restores.
+        for s in sorted(self._mgr.all_steps(), reverse=True):
+            try:
+                return self._restore_step(abstract_state, s)
+            except Exception as e:
+                log.warning(
+                    "checkpoint %d is unreadable (%s: %.200s); trying the "
+                    "previous one", s, type(e).__name__, e,
+                )
+        return None, None
+
+    def _restore_step(self, abstract_state: Any, step: int):
         abstract = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
             if hasattr(x, "dtype")

@@ -185,3 +185,40 @@ def test_restore_pre_ema_checkpoint_with_ema_on(tmp_path):
         np.testing.assert_array_equal(np.asarray(saved), np.asarray(e))
         assert p.unsafe_buffer_pointer() != e.unsafe_buffer_pointer()
     mgr.close()
+
+
+def test_restore_falls_back_past_corrupted_latest(tmp_path, caplog):
+    """Auto-resume with a corrupted/stripped latest checkpoint must fall
+    back to the newest readable one (warning logged), and return
+    (None, None) when nothing restores — not crash the run at startup
+    (observed live: a data-stripped orbax dir killed Trainer.init_or_resume)."""
+    import logging
+    import shutil
+
+    from nerf_kinematics_tpu.train.config import Config
+    from nerf_kinematics_tpu.train.loop import ClassicNerf
+
+    cfg = Config(model_coarse=FlexibleNeRFConfig(hidden_size=16))
+    engine = ClassicNerf(cfg)
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    s1 = engine.init_state(1)
+    mgr.save(5, s1)
+    mgr.save(9, engine.init_state(2))
+    # Strip the latest checkpoint's data blobs (keep the metadata shell).
+    ddir = tmp_path / "ckpts" / "9" / "default" / "d"
+    assert ddir.exists()
+    shutil.rmtree(ddir)
+
+    with caplog.at_level(logging.WARNING, "nerf_kinematics_tpu.io"):
+        restored, step = mgr.restore(engine.init_state(0))
+    assert step == 5
+    assert any("unreadable" in r.message for r in caplog.records)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # All-corrupt -> fresh start.
+    shutil.rmtree(tmp_path / "ckpts" / "5" / "default" / "d")
+    restored, step = mgr.restore(engine.init_state(0))
+    assert restored is None and step is None
+    mgr.close()
