@@ -358,8 +358,13 @@ class ClassicNerf:
             )
 
         sampler = getattr(settings, "pixel_sampler", "random")
-        if sampler not in ("random", "shuffled"):
+        if sampler not in ("random", "shuffled", "shuffled_epoch"):
             raise ValueError(f"unknown pixel_sampler {sampler!r}")
+        if sampler == "shuffled_epoch":
+            # In-step identical to "shuffled"; the Trainer re-permutes the
+            # buffer between epochs (the mechanism-separation variant of the
+            # sampler study — see RenderSettings.pixel_sampler).
+            sampler = "shuffled"
 
         def train_step(state: TrainState, images, poses, ray_buf=None):
             key, k_batch, k_render = jax.random.split(state.key, 3)

@@ -85,17 +85,19 @@ class Trainer:
             self.images = jax.device_put(self.images, rep)
             self.poses = jax.device_put(self.poses, rep)
         self.ray_buf = None
-        if cfg.nerf.train.pixel_sampler == "shuffled":
-            from .loop import build_shuffled_ray_buffer
+        if cfg.nerf.train.pixel_sampler in ("shuffled", "shuffled_epoch"):
+            self._build_ray_buf(seed=cfg.experiment.randomseed)
 
-            self.ray_buf = build_shuffled_ray_buffer(
-                self.images, self.poses, ds.intrinsics,
-                seed=cfg.experiment.randomseed,
+    def _build_ray_buf(self, seed: int) -> None:
+        from .loop import build_shuffled_ray_buffer
+
+        self.ray_buf = build_shuffled_ray_buffer(
+            self.images, self.poses, self.dataset.intrinsics, seed=seed,
+        )
+        if self.mesh is not None:
+            self.ray_buf = jax.device_put(
+                self.ray_buf, replicated_sharding(self.mesh)
             )
-            if self.mesh is not None:
-                self.ray_buf = jax.device_put(
-                    self.ray_buf, replicated_sharding(self.mesh)
-                )
 
     # ------------------------------------------------------------------
     def init_or_resume(self) -> TrainState:
@@ -181,8 +183,25 @@ class Trainer:
             )
             self._train_many_chunk = chunk
 
+        # "shuffled_epoch": the buffer is re-permuted with a fresh seed each
+        # time training has consumed one epoch's worth of rays — separates
+        # "a fixed permutation" from "without-replacement epoch coverage"
+        # in the sampler study (RenderSettings.pixel_sampler).
+        reshuffle = cfg.nerf.train.pixel_sampler == "shuffled_epoch"
+        epoch_steps = 0
+        if reshuffle and self.ray_buf is not None:
+            epoch_steps = max(
+                int(self.ray_buf["target"].shape[0]) // n_rays, 1
+            )
+
         it = start_step
         while it < total:
+            if reshuffle and epoch_steps and it > start_step:
+                epoch_now = it // epoch_steps
+                if (it - chunk) // epoch_steps != epoch_now:
+                    self._build_ray_buf(
+                        seed=cfg.experiment.randomseed + 1000 * (1 + epoch_now)
+                    )
             k = min(chunk, total - it)
             if k == chunk and chunk > 1:
                 state, metrics = self._train_many(

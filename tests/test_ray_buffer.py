@@ -121,3 +121,55 @@ def test_shuffled_windows_vary_per_step():
         losses.append(float(m["loss"]))
     # Different random windows → different batches → different losses.
     assert len(set(losses)) > 1
+
+
+def test_shuffled_epoch_rebuilds_buffer_between_epochs(tmp_path):
+    """pixel_sampler 'shuffled_epoch' re-permutes the ray buffer with a
+    fresh seed once per consumed epoch (Trainer.fit); in-step it behaves
+    exactly like 'shuffled'."""
+    from nerf_kinematics_tpu.data import make_synthetic_scene
+    from nerf_kinematics_tpu.models.flexible_nerf import FlexibleNeRFConfig
+    from nerf_kinematics_tpu.rendering.renderer import RenderSettings
+    from nerf_kinematics_tpu.train.config import Config, ExperimentConfig
+    from nerf_kinematics_tpu.train.trainer import Trainer
+
+    ds = make_synthetic_scene(n_views=4, resolution=8)  # 256 train pixels
+    settings = RenderSettings(num_coarse=2, num_fine=0, perturb=True,
+                              pixel_sampler="shuffled_epoch")
+    cfg = Config(
+        model_coarse=FlexibleNeRFConfig(num_layers=2, hidden_size=8,
+                                        num_encoding_fn_xyz=1,
+                                        num_encoding_fn_dir=1),
+        model_fine=None,
+        nerf=dataclasses.replace(
+            Config().nerf, train=settings,
+            validation=RenderSettings(num_coarse=2, num_fine=0,
+                                      perturb=False),
+            num_random_rays=16,  # epoch = 256*(3/4 train? all views)/16 steps
+        ),
+        experiment=ExperimentConfig(id="se", logdir=str(tmp_path),
+                                    train_iters=40, print_every=4,
+                                    validate_every=0, save_every=0),
+    )
+    t = Trainer(cfg, dataset=ds)
+    first = np.asarray(t.ray_buf["target"]).copy()
+    builds = []
+    orig = t._build_ray_buf
+
+    def counting(seed):
+        builds.append(seed)
+        return orig(seed)
+
+    t._build_ray_buf = counting
+    t.fit()
+    t.close()
+    n_train_px = t.images.shape[0] * t.images.shape[1] * t.images.shape[2]
+    epoch_steps = n_train_px // 16
+    # One rebuild per epoch crossing (40 steps, chunked dispatch).
+    assert len(builds) == (40 - 1) // epoch_steps >= 2, (builds, epoch_steps)
+    # The rebuilt buffer is a different permutation.
+    assert not np.array_equal(first, np.asarray(t.ray_buf["target"]))
+    # Same multiset of pixels (a permutation, not new data).
+    np.testing.assert_allclose(
+        np.sort(first.ravel()),
+        np.sort(np.asarray(t.ray_buf["target"]).ravel()), rtol=1e-6)
