@@ -223,8 +223,15 @@ def _two_hot_hashed(
     return jnp.where(iota == idx0, 1.0 - w, 0.0) + jnp.where(iota == idx1, w, 0.0)
 
 
-def cp_encode(lines: List[jnp.ndarray], x: jnp.ndarray, cfg: CPGridConfig) -> jnp.ndarray:
-    """Encode x ∈ [0,1]^3 → (..., L*C) features. ``lines[l]``: (3, R_l, C)."""
+def cp_encode(lines: List[jnp.ndarray], x: jnp.ndarray, cfg: CPGridConfig,
+              point_grads: bool = False) -> jnp.ndarray:
+    """Encode x ∈ [0,1]^3 → (..., L*C) features. ``lines[l]``: (3, R_l, C).
+
+    ``point_grads=True`` keeps the interpolation weights differentiable
+    w.r.t. ``x`` (the tent derivative) — needed by pose refinement, where
+    the photometric loss backpropagates into ray origins/directions. The
+    default stop-gradients them (training treats positions as data; the
+    backward then contains only line-table matmuls)."""
     orig = x.shape[:-1]
     x = jnp.clip(x.reshape(-1, 3), 0.0, 1.0)
     n = x.shape[0]
@@ -255,7 +262,9 @@ def cp_encode(lines: List[jnp.ndarray], x: jnp.ndarray, cfg: CPGridConfig) -> jn
                 ])
             else:
                 W = _two_hot_folded(pos.T.reshape(-1), R, cfg.table_size, F)
-            W = jax.lax.stop_gradient(W).reshape(3, m, cfg.table_size).astype(wdtype)
+            if not point_grads:
+                W = jax.lax.stop_gradient(W)
+            W = W.reshape(3, m, cfg.table_size).astype(wdtype)
             u = jnp.einsum(
                 "amr,arc->amc",
                 W,
@@ -270,6 +279,42 @@ def cp_encode(lines: List[jnp.ndarray], x: jnp.ndarray, cfg: CPGridConfig) -> jn
     else:
         out = jax.lax.map(encode_chunk, xc).reshape(n_chunks * chunk, cfg.out_dim)
     return out[:n].reshape(*orig, cfg.out_dim)
+
+
+def cp_encode_stacked(stacked: jnp.ndarray, x: jnp.ndarray,
+                      cfg: CPGridConfig,
+                      point_grads: bool = False) -> jnp.ndarray:
+    """XLA mirror of ``cp_encode_pallas`` over the STACKED (L, 3, T, C)
+    parameter table (the cp_pallas checkpoint format) — same function
+    exactly: the kernel's dup-row plain tent equals the periodic two-hot
+    built here (see ops/cp_grid_pallas._hat_weights).
+
+    Exists for paths that need autodiff the Pallas kernel does not provide:
+    ``point_grads=True`` keeps interpolation weights differentiable w.r.t.
+    ``x`` — pose refinement backpropagates the photometric loss through ray
+    generation into SE(3) pose deltas (poses/refine.py)."""
+    orig = x.shape[:-1]
+    x = jnp.clip(x.reshape(-1, 3), 0.0, 1.0)
+    wdtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+    T = cfg.table_size
+    feats = []
+    for l, R in enumerate(cfg.resolutions):
+        pos = x * R
+        F = cfg.level_fold(R)
+        us = []
+        for a in range(3):
+            if cfg.fold == "hash" and F:
+                W = _two_hot_hashed(pos[:, a], R, T, F, fold_salt(l, a))
+            else:
+                W = _two_hot_folded(pos[:, a], R, T, F)
+            if not point_grads:
+                W = jax.lax.stop_gradient(W)
+            us.append(
+                jnp.matmul(W.astype(wdtype), stacked[l, a].astype(wdtype),
+                           preferred_element_type=jnp.float32)
+            )
+        feats.append(us[0] * us[1] * us[2])
+    return jnp.concatenate(feats, axis=-1).reshape(*orig, cfg.out_dim)
 
 
 def cp_encode_ref(lines, x, cfg: CPGridConfig):
