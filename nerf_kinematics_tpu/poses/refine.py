@@ -202,14 +202,19 @@ def refine_poses(engine, params, aux, images, c2ws, intrinsics, near, far,
     prop_settings = RenderSettings(num_coarse=n_samples, perturb=False)
     proposal = engine.proposal_for(aux, near, far, prop_settings)
 
-    def loss_fn(deltas, key):
+    # images/c2ws/frozen params are threaded through the jit as ARGUMENTS:
+    # closed-over device arrays lower as HLO constants, and at fox scale the
+    # (N, 1080, 1920, 3) stack is ~1.2 GB of literal — the remote-compile
+    # payload breaks the device tunnel (observed twice: Broken pipe from
+    # /remote_compile at first dispatch). As inputs they are plain buffers.
+    def loss_fn(deltas, imgs, poses, fparams, key):
         k_img, k_px, k_prop = jax.random.split(key, 3)
         i = jax.random.randint(k_img, (), 0, n)
         px = jax.random.randint(k_px, (n_rays,), 0, H * W)
         row = (px // W).astype(jnp.float32)
         col = (px % W).astype(jnp.float32)
-        target = images[i].reshape(H * W, -1)[px, :3]
-        c2w = apply_delta(c2ws[i], deltas[i])
+        target = imgs[i].reshape(H * W, -1)[px, :3]
+        c2w = apply_delta(poses[i], deltas[i])
         dirs_cam = pixel_dirs(col, row, fl_x, fl_y, cx, cy, dist=dist)
         rays_d = dirs_cam @ c2w[:3, :3].T
         rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
@@ -223,7 +228,7 @@ def refine_poses(engine, params, aux, images, c2ws, intrinsics, near, far,
         z = jax.lax.stop_gradient(z)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
         vd = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
-        rgb_raw, sigma = ngp_apply_diff(frozen, cfg, engine._to_unit(pts), vd)
+        rgb_raw, sigma = ngp_apply_diff(fparams, cfg, engine._to_unit(pts), vd)
         out = raw2outputs(rgb_raw, sigma, z, rays_d,
                           white_background=white_background)
         return jnp.mean((out.rgb - target) ** 2)
@@ -233,14 +238,15 @@ def refine_poses(engine, params, aux, images, c2ws, intrinsics, near, far,
     opt = tx.init(deltas)
 
     @jax.jit
-    def step(deltas, opt, key):
-        loss, g = jax.value_and_grad(loss_fn)(deltas, key)
+    def step(deltas, opt, imgs, poses, fparams, key):
+        loss, g = jax.value_and_grad(loss_fn)(deltas, imgs, poses, fparams,
+                                              key)
         upd, opt = tx.update(g, opt)
         return optax.apply_updates(deltas, upd), opt, loss
 
     key = jax.random.PRNGKey(seed)
     for _ in range(n_iters):
         key, sub = jax.random.split(key)
-        deltas, opt, _ = step(deltas, opt, sub)
+        deltas, opt, _ = step(deltas, opt, images, c2ws, frozen, sub)
     refined = jnp.stack([apply_delta(c2ws[i], deltas[i]) for i in range(n)])
     return refined, deltas
