@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Fox compute/capacity scale-up study (round 4, VERDICT r3 #7 follow-up).
+
+Finding that motivates this: the shipped fox recipe (25k steps x 4096
+rays) trains to val 24.93 dB with TRAIN psnr at 25.2 — the model does not
+fit even the training views, and 25k*4096 = 102M ray samples is almost
+exactly ONE epoch over the 49 train frames' 1080x1920 pixels. Pose
+registration is NOT the binding constraint (stage-1 val-pose photometric
+alignment buys only +0.27 dB; stage-2 joint train-pose refinement
+regresses — logs/fox-ngp/pose_refine_r4.json). The binding constraint is
+train-view fit, so spend compute: bigger ray batches (more epochs) and,
+if train psnr saturates, more encoder capacity.
+
+Variants run sequentially on the real chip; results append to
+logs/sweeps/fox_scale_r4.jsonl. Resumable: completed ids are skipped.
+
+    python scripts/fox_scale_study.py [--only ID]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(ROOT, "logs", "sweeps", "fox_scale_r4.jsonl")
+
+# id -> list of dotted overrides on top of configs/fox_ngp.yml
+VARIANTS = {
+    # 4 epochs instead of 1 at unchanged capacity.
+    "r16k_25k": ["nerf.train.num_random_rays=16384"],
+    # 4 epochs + wider CP encoder (capacity check).
+    "r16k_25k_c96": [
+        "nerf.train.num_random_rays=16384",
+        "ngp.n_components=96",
+        "ngp.table_size=256",
+    ],
+    # ~6.5 epochs, unchanged capacity, slower lr decay to match horizon.
+    "r16k_40k": [
+        "nerf.train.num_random_rays=16384",
+        "experiment.train_iters=40000",
+    ],
+}
+
+
+def done_set():
+    done = set()
+    if os.path.exists(OUT):
+        for line in open(OUT):
+            try:
+                done.add(json.loads(line)["id"])
+            except Exception:
+                pass
+    return done
+
+
+def run_one(vid: str) -> dict:
+    rid = f"fox_scale_{vid}"
+    logdir = os.path.join("logs", "sweeps", "fox_scale_r4")
+    rundir = os.path.join(ROOT, logdir, rid)
+    cmd = [
+        sys.executable, os.path.join(ROOT, "scripts", "exp_train.py"),
+        os.path.join(ROOT, "configs", "fox_ngp.yml"),
+        "--set", f"experiment.id={rid}",
+        "--set", f"experiment.logdir={logdir}",
+        "--set", "experiment.validate_every=5000",
+        # keep the final checkpoint for val-pose alignment afterwards
+        "--set", "experiment.save_every=25000",
+    ] + [a for o in VARIANTS[vid] for a in ("--set", o)]
+    t0 = time.perf_counter()
+    p = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
+                       timeout=7200)
+    res = {"id": vid, "overrides": VARIANTS[vid],
+           "secs": round(time.perf_counter() - t0, 1)}
+    if p.returncode != 0:
+        res["error"] = p.stderr[-500:]
+        return res
+    tags = {}
+    mpath = os.path.join(rundir, "metrics.jsonl")
+    if os.path.exists(mpath):
+        for line in open(mpath):
+            m = json.loads(line)
+            tags[m["tag"]] = m["value"]
+    res["val_psnr"] = round(tags.get("val/psnr", float("nan")), 3)
+    res["train_psnr"] = round(tags.get("train/psnr", float("nan")), 3)
+    res["rays_per_sec"] = round(tags.get("perf/rays_per_sec", 0.0))
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None, choices=list(VARIANTS))
+    args = ap.parse_args()
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    done = done_set()
+    for vid in VARIANTS:
+        if args.only and vid != args.only:
+            continue
+        if vid in done:
+            print(f"skip (done): {vid}", flush=True)
+            continue
+        print(f"run: {vid}", flush=True)
+        res = run_one(vid)
+        with open(OUT, "a") as f:
+            f.write(json.dumps(res) + "\n")
+        print(f"  -> {res}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
