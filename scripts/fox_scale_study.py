@@ -52,7 +52,9 @@ def done_set():
     if os.path.exists(OUT):
         for line in open(OUT):
             try:
-                done.add(json.loads(line)["id"])
+                r = json.loads(line)
+                if "error" not in r:
+                    done.add(r["id"])
             except Exception:
                 pass
     return done

@@ -48,7 +48,8 @@ def done_set():
         for line in open(OUT):
             try:
                 r = json.loads(line)
-                done.add((r["regime"], r["sampler"], r["seed"]))
+                if "error" not in r:  # failed/wedged cells retry on resume
+                    done.add((r["regime"], r["sampler"], r["seed"]))
             except Exception:
                 pass
     return done
