@@ -237,6 +237,10 @@ class Trainer:
                 self.writer.scalar("train/loss", metrics["loss"], it)
                 self.writer.scalar("train/psnr", metrics["psnr"], it)
                 self.writer.scalar("perf/rays_per_sec", rays_per_sec, it)
+                # Flush on the print cadence: metrics.jsonl doubles as the
+                # liveness heartbeat sweep drivers watch to detect a wedged
+                # device tunnel (scripts/_sweep_util.py).
+                self.writer.flush()
 
             if exp.validate_every > 0 and ((it % exp.validate_every) < k or it == total):
                 v = self.validate(state)

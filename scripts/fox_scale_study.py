@@ -26,6 +26,8 @@ import subprocess
 import sys
 import time
 
+from _sweep_util import run_with_wedge_guard
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "logs", "sweeps", "fox_scale_r4.jsonl")
 
@@ -74,12 +76,12 @@ def run_one(vid: str) -> dict:
         "--set", "experiment.save_every=25000",
     ] + [a for o in VARIANTS[vid] for a in ("--set", o)]
     t0 = time.perf_counter()
-    p = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
-                       timeout=7200)
-    res = {"id": vid, "overrides": VARIANTS[vid],
+    rc, err, attempts = run_with_wedge_guard(
+        cmd, ROOT, os.path.join(rundir, "metrics.jsonl"), timeout_s=7200)
+    res = {"id": vid, "overrides": VARIANTS[vid], "attempts": attempts,
            "secs": round(time.perf_counter() - t0, 1)}
-    if p.returncode != 0:
-        res["error"] = p.stderr[-500:]
+    if rc != 0:
+        res["error"] = err[-500:]
         return res
     tags = {}
     mpath = os.path.join(rundir, "metrics.jsonl")

@@ -31,6 +31,8 @@ import subprocess
 import sys
 import time
 
+from _sweep_util import run_with_wedge_guard
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "logs", "sweeps", "sampler_study_r4.jsonl")
 
@@ -70,12 +72,12 @@ def run_one(regime: str, sampler: str, seed: int) -> dict:
         "--set", "experiment.validate_every=0",
         "--set", "experiment.save_every=0",
     ]
-    p = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
-                       timeout=3600)
+    rc, err, attempts = run_with_wedge_guard(
+        cmd, ROOT, os.path.join(rundir, "metrics.jsonl"), timeout_s=3600)
     res = {"regime": regime, "sampler": sampler, "seed": seed,
-           "secs": round(time.perf_counter() - t0, 1)}
-    if p.returncode != 0:
-        res["error"] = p.stderr[-500:]
+           "secs": round(time.perf_counter() - t0, 1), "attempts": attempts}
+    if rc != 0:
+        res["error"] = err[-500:]
         return res
     vals = {}
     mpath = os.path.join(rundir, "metrics.jsonl")
