@@ -41,6 +41,10 @@ def main() -> None:
     ap.add_argument("--samples", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="logs/fox-ngp/pose_refine_r4.json")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    help="dotted.path=value config override (YAML-parsed), "
+                    "repeatable — match the overrides the checkpoint was "
+                    "trained with (e.g. ngp.n_components=96)")
     args = ap.parse_args()
 
     from nerf_kinematics_tpu.utils.compile_cache import enable_compilation_cache
@@ -57,7 +61,20 @@ def main() -> None:
     from nerf_kinematics_tpu.train.loop import eval_params
     from nerf_kinematics_tpu.train.trainer import Trainer
 
-    cfg = load_config(args.config)
+    if args.overrides:
+        import yaml
+
+        from nerf_kinematics_tpu.train.config import config_from_dict
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from exp_train import apply_override
+
+        with open(args.config) as f:
+            raw = yaml.safe_load(f)
+        for o in args.overrides:
+            apply_override(raw, o)
+        cfg = config_from_dict(raw)
+    else:
+        cfg = load_config(args.config)
     # Keep the canonical logs/fox-ngp run dir (committed evidence) pristine:
     # the stage-2 finetune writes its metrics/checkpoints to its own id.
     import dataclasses
