@@ -38,16 +38,25 @@ class RenderSettings:
     # importance samples (no sort; the fast engines' default — the per-ray
     # sort costs more than the model itself on TPU).
     merge_hierarchical: bool = True
-    # Ray-batch source (train phase only): "random" gathers random pixels
-    # from the image stack each step (reference semantics — instant-ngp
-    # samples pixels with replacement; the SHIPPED default); "shuffled"
-    # slices a precomputed globally-shuffled per-pixel ray buffer
-    # (train/loop.py::build_shuffled_ray_buffer) — saves the ~0.2 ms/step
-    # the random gather costs at 8k rays, but is EXPERIMENTAL: window
-    # batches drawn from one fixed permutation measurably underperform iid
-    # gathers on some machina configs (24-sample budgets @10k: −3 dB;
-    # sequential consumption instead decays 30k runs) — batch composition
-    # statistics matter in ways a fixed permutation does not reproduce.
+    # Ray-batch source (train phase only).
+    #   "random": gather random pixels from the image stack each step
+    #     (reference semantics — instant-ngp samples WITH replacement).
+    #   "shuffled": slice a precomputed globally-shuffled per-pixel ray
+    #     buffer (train/loop.py::build_shuffled_ray_buffer) in random
+    #     window order — without-replacement epoch coverage, and it saves
+    #     the ~0.2 ms/step the random gather costs at 8k rays.
+    #   "shuffled_epoch": same buffer, re-permuted every epoch.
+    # Seed-controlled study (5 seeds x {random,shuffled} + 3 x
+    # shuffled_epoch on both 10k/24+24 and 30k/48+48 machina regimes —
+    # scripts/sampler_study.py, logs/sweeps/sampler_study_r4_summary.txt):
+    # shuffled beats random by +1.15 dB val-mean @10k and +1.37 dB @30k
+    # (non-overlapping seed distributions at 30k). shuffled_epoch matches
+    # shuffled within noise in BOTH regimes, so the mechanism is
+    # without-replacement EPOCH COVERAGE, not the fixed permutation's
+    # batch-companion structure. (The round-3 "shuffled craters 10k runs"
+    # observation does not reproduce across seeds — 10k-regime seed spread
+    # is ±1.4 dB and random itself produced the worst outlier, 31.96.)
+    # NGP configs ship "shuffled"; "random" remains for reference parity.
     pixel_sampler: str = "random"
 
     @classmethod
