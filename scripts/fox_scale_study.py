@@ -46,6 +46,17 @@ VARIANTS = {
         "nerf.train.num_random_rays=16384",
         "experiment.train_iters=40000",
     ],
+    # Shipped round-4 recipe + the shuffled sampler: the machina study
+    # identified without-replacement epoch coverage as the mechanism
+    # (+1.15/+1.37 dB there); fox at 16k rays runs ~3.9 epochs, so the
+    # win should transfer IF the 101.6M-pixel buffer (3.7 GB steady,
+    # ~9 GB transient during the permuted build) fits in the 16 GB HBM.
+    "r16k_25k_c96_shuf": [
+        "nerf.train.num_random_rays=16384",
+        "ngp.n_components=96",
+        "ngp.table_size=256",
+        "nerf.train.pixel_sampler=shuffled",
+    ],
 }
 
 
