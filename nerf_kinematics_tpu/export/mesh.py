@@ -92,7 +92,13 @@ def extract_mesh(
 
 
 def _extract_mesh_numpy(grid, iso, bounds):
-    """Vectorized numpy marching tetrahedra (fallback path)."""
+    """Vectorized numpy marching tetrahedra (fallback path).
+
+    Like the native core, output vertices are globally welded: every
+    vertex lies on a unique lattice edge (pair of global grid corners), so
+    duplicates across tets/cells are collapsed by the canonical corner-pair
+    key (np.unique) and triangles index the shared vertices — V ≈ T/2.
+    """
     nx, ny, nz = grid.shape
     lo, hi = bounds[:3], bounds[3:]
     scale = (hi - lo) / (np.array([nx, ny, nz]) - 1)
@@ -111,7 +117,7 @@ def _extract_mesh_numpy(grid, iso, bounds):
         4: [(1, 3, 5)], 5: [(0, 2, 3), (3, 2, 5)], 6: [(0, 1, 5), (0, 5, 4)],
         7: [(2, 4, 5)], 8: [(2, 5, 4)], 9: [(0, 5, 1), (0, 4, 5)],
         10: [(0, 3, 2), (3, 5, 2)], 11: [(1, 5, 3)],
-        12: [(1, 4, 2), (2, 4, 3)], 13: [(0, 4, 3)], 14: [(0, 1, 2)],
+        12: [(1, 3, 2), (3, 4, 2)], 13: [(0, 4, 3)], 14: [(0, 1, 2)],
     }
 
     # Cell corner coordinates/values for all cells.
@@ -126,19 +132,23 @@ def _extract_mesh_numpy(grid, iso, bounds):
     active = ((cvals > iso).any(1)) & ((cvals <= iso).any(1))
     cells, cvals = cells[active], cvals[active]
     cpos = (cells[:, None, :] + corner_off[None]) * scale + lo  # (M, 8, 3)
+    # Global lattice corner ids, for the welding keys.
+    cg = cells[:, None, :] + corner_off[None]  # (M, 8, 3)
+    cgid = ((cg[..., 0] * ny + cg[..., 1]) * nz + cg[..., 2]).astype(np.uint64)
 
-    verts_out, tris_out = [], []
+    verts_out, keys_out, tris_out = [], [], []
     vcount = 0
     for tet in tets:
         tv = cvals[:, tet]  # (M, 4)
         tp = cpos[:, tet]  # (M, 4, 3)
+        tg = cgid[:, tet]  # (M, 4)
         code = ((tv > iso) * np.array([1, 2, 4, 8])).sum(1)
         for c, tris in tri_table.items():
             m = code == c
             n = int(m.sum())
             if n == 0:
                 continue
-            sv, sp = tv[m], tp[m]
+            sv, sp, sg = tv[m], tp[m], tg[m]
             edges = sorted({e for tri in tris for e in tri})
             edge_base = {}
             for e in edges:
@@ -146,6 +156,10 @@ def _extract_mesh_numpy(grid, iso, bounds):
                 t = (iso - sv[:, a]) / (sv[:, b_] - sv[:, a] + 1e-30)
                 t = np.clip(t, 0, 1)[:, None]
                 verts_out.append(sp[:, a] + t * (sp[:, b_] - sp[:, a]))
+                ga, gb = sg[:, a], sg[:, b_]
+                keys_out.append(
+                    (np.minimum(ga, gb) << np.uint64(32)) | np.maximum(ga, gb)
+                )
                 edge_base[e] = vcount
                 vcount += n
             for tri in tris:
@@ -155,8 +169,11 @@ def _extract_mesh_numpy(grid, iso, bounds):
     if not verts_out:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
     verts = np.concatenate(verts_out).astype(np.float32)
+    keys = np.concatenate(keys_out)
     tris = np.concatenate(tris_out).astype(np.int32)
-    return verts, tris
+    # Weld: one vertex per lattice edge; remap triangle indices.
+    _, first, inverse = np.unique(keys, return_index=True, return_inverse=True)
+    return verts[first], inverse.astype(np.int32)[tris]
 
 
 def save_ply(path: str, verts: np.ndarray, tris: np.ndarray) -> None:

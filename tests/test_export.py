@@ -142,3 +142,30 @@ def test_asymmetric_blob_mesh_position():
     verts, tris = extract_mesh(grid, iso=0.0, bounds=(-1, -1, -1, 1, 1, 1))
     assert len(verts) > 100
     np.testing.assert_allclose(verts.mean(0), [0.6, 0.0, -0.2], atol=0.02)
+
+
+def test_welded_indexed_mesh_no_duplicates():
+    """VERDICT r4 #4 regression: both extractors emit an INDEXED mesh with
+    globally welded edge-vertices — no duplicate positions, the closed-mesh
+    Euler ratio V ≈ T/2 (the reference's marching_cubes.cu emits the same
+    shared-vertex structure: cell 28, 2.70M verts / 5.17M tris), and every
+    edge shared by exactly two triangles (crack-free across cell/slab
+    boundaries)."""
+    lin = np.linspace(-1, 1, 32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    grid = 0.25 - np.sqrt((x - 0.6) ** 2 + y**2 + (z + 0.2) ** 2)
+    b = np.asarray([-1, -1, -1, 1, 1, 1], np.float32)
+    paths = [lambda g: _extract_mesh_numpy(g, 0.0, b)]
+    if _load_native() is not None:
+        paths.append(lambda g: extract_mesh(g, iso=0.0, bounds=tuple(b)))
+    for extract in paths:
+        verts, tris = extract(grid)
+        assert len(verts) > 100
+        assert len(np.unique(verts.round(5), axis=0)) == len(verts)
+        assert 0.45 < len(verts) / len(tris) < 0.55
+        e = np.sort(
+            np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]]),
+            axis=1,
+        )
+        _, counts = np.unique(e, axis=0, return_counts=True)
+        assert (counts == 2).all()
