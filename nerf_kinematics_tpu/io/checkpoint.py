@@ -138,12 +138,23 @@ class CheckpointManager:
         return None, None
 
     def _restore_step(self, abstract_state: Any, step: int):
-        abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
-            if hasattr(x, "dtype")
-            else x,
-            abstract_state,
-        )
+        # Propagate mesh shardings from the target state into the restore
+        # spec: orbax then places every restored shard directly on the
+        # right devices — required for multi-host restore (each process
+        # reads only what its devices need) and for restoring onto a
+        # DIFFERENT topology than the one that saved (SURVEY.md §5.3-5.4;
+        # exercised cross-topology by tests/test_multihost.py).
+        def to_abstract(x):
+            if not hasattr(x, "dtype"):
+                return x
+            sharding = getattr(x, "sharding", None)
+            if isinstance(sharding, jax.sharding.NamedSharding):
+                return jax.ShapeDtypeStruct(
+                    np.shape(x), x.dtype, sharding=sharding
+                )
+            return jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+
+        abstract = jax.tree_util.tree_map(to_abstract, abstract_state)
         try:
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore({"state": abstract})

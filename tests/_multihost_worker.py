@@ -2,10 +2,19 @@
 jax.distributed run (or the single-process baseline), CPU backend with 4
 virtual devices per process.
 
-Usage: python _multihost_worker.py <port> <process_id> <num_processes>
+Usage: python _multihost_worker.py <port> <process_id> <num_processes> \
+    [save=<dir> | restore=<dir>]
 
 num_processes == 1 skips jax.distributed (baseline: same math, one process,
 8 local devices). Prints ``MULTIHOST_LOSS <float>`` on success.
+
+Optional checkpoint round-trip (VERDICT r4 #7 — real multi-host failures
+live in save/restore, not the step): ``save=<dir>`` writes an orbax
+checkpoint after the two steps; ``restore=<dir>`` instead restores the
+latest checkpoint into THIS topology's mesh (which may differ from the
+topology that saved it), runs ONE more step, and prints the loss — the
+parent test asserts cross-topology parity (2-proc save → 1-proc restore
+and the reverse both match the pure single-process run).
 
 Covers SURVEY.md §2.5's multi-host DCN input pipeline for real: every
 process loads only its host-local slice of the image set, assembles the
@@ -20,6 +29,9 @@ import sys
 
 def main():
     port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    ckpt_mode, ckpt_dir = None, None
+    if len(sys.argv) > 4:
+        ckpt_mode, _, ckpt_dir = sys.argv[4].partition("=")
     # JAX_PLATFORMS / XLA_FLAGS must be set by the SPAWNING process (the
     # interpreter may import jax from sitecustomize before this line runs).
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -99,8 +111,31 @@ def main():
     state = jax.tree_util.tree_map(replicate, engine.init_state(0))
     step = engine.make_train_step(ds.intrinsics, ds.near, ds.far,
                                   ds.use_ndc, donate=False)
+
+    if ckpt_mode == "restore":
+        from nerf_kinematics_tpu.io.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir)
+        # The freshly-initialized replicated state carries THIS topology's
+        # mesh shardings — restore places shards straight onto it, even
+        # when the checkpoint was written by a different process count.
+        state, restored_step = mgr.restore(state)
+        assert state is not None, f"no checkpoint under {ckpt_dir}"
+        mgr.close()
+        state, metrics = step(state, g_images, g_poses)
+        loss = float(np.asarray(jax.device_get(metrics["loss"])))
+        print(f"MULTIHOST_RESTORED_STEP {restored_step}", flush=True)
+        print(f"MULTIHOST_LOSS {loss:.10f}", flush=True)
+        return
+
     for _ in range(2):
         state, metrics = step(state, g_images, g_poses)
+    if ckpt_mode == "save":
+        from nerf_kinematics_tpu.io.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir)
+        mgr.save(2, state)
+        mgr.close()
     # loss is replicated (fully addressable on every process).
     loss = float(np.asarray(jax.device_get(metrics["loss"])))
     print(f"MULTIHOST_LOSS {loss:.10f}", flush=True)
