@@ -90,6 +90,16 @@ class NGPConfig:
     # DEFAULT_BLOCK). Bigger blocks amortize per-block weight loads but
     # grow the backward kernel's VMEM residency with the table size.
     fused_block: int = 0
+    # One-invocation train objective (ops/ngp_fused_pallas
+    # ngp_fused_train_cf): fine forward + per-ray compositing + MSE + full
+    # backward in a single Pallas kernel — removes the separate fine
+    # forward kernel, its duplicate tent/encoder work in the backward's
+    # recompute, and the XLA compositing glue (round-5 trace: −1.2 ms on
+    # the flagship step). "auto" = on whenever the step shape is eligible
+    # (fused encoder, coarse_loss_weight 0, num_fine > 0, viewdirs, no
+    # density noise, rays % 128 == 0); "on" = require (raise if not
+    # eligible); "off" = always use the autodiff path.
+    fused_train: str = "auto"
 
     @classmethod
     def from_cfg(cls, d: dict) -> "NGPConfig":

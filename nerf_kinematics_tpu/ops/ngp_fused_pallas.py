@@ -505,6 +505,261 @@ def _fused_bwd_cf(cfg, block, interpret, res, g):
 ngp_fused_apply_cf.defvjp(_fused_fwd_cf, _fused_bwd_cf)
 
 
+# ---------------------------------------------------------------------------
+# Fully-fused FINE TRAIN pass: forward + per-ray compositing + MSE + backward
+# in ONE kernel invocation.
+#
+# The round-4 trace put the fine backward Pallas call at 2.51 ms (49% of the
+# 5.13 ms step), the fine forward at 0.87 ms, and ~0.7 ms of XLA compositing/
+# loss glue around them. The backward already recomputes the whole forward
+# (activations never touch HBM), so running the *primal* forward as a
+# separate kernel + XLA compositing bought nothing but a second tent
+# construction, a second encoder pass, and a (4, N) HBM round trip. Rays are
+# independent, so a block of WHOLE RAYS can composite, take the MSE against
+# its target pixels, and backprop — all in VMEM.
+#
+# Layout contract: the point block is RAYS_PER_BLOCK rays × S samples,
+# ordered SAMPLE-MAJOR within the block (lane = s*RB + r), so "sample s of
+# every ray in the block" is a native 128-lane slice. The caller builds
+# points/dirs/dists in this order (see NGPEngine._fused_objective_inputs).
+#
+# Reference counterpart: instant-ngp's fused train step
+# (testbed_nerf train loop — SURVEY.md §3.3) which likewise never
+# materializes per-sample activations between network and compositing.
+# ---------------------------------------------------------------------------
+
+RAYS_PER_BLOCK = 128
+
+
+def _train_kernel(xt_ref, vd_ref, dist_ref, tgt_ref, lines_ref, *refs,
+                  cfg: CPGridConfig, nd: int, nc: int, wdtype, S: int,
+                  white_bg: bool, inv_denom: float):
+    """refs: dW, db, cW, cb (params) — then outputs: dlines, ddW[nd],
+    ddb[nd], dcW[nc], dcb[nc] (VMEM accumulators), err (1, RB),
+    maps (4, RB: rgb_map rows 0-2, acc row 3)."""
+    RB = RAYS_PER_BLOCK
+    n_params = 2 * nd + 2 * nc
+    dW = [refs[i] for i in range(nd)]
+    db = [refs[nd + i] for i in range(nd)]
+    cW = [refs[2 * nd + i] for i in range(nc)]
+    cb = [refs[2 * nd + nc + i] for i in range(nc)]
+    outs = refs[n_params:]
+    dlines_ref = outs[0]
+    ddW = outs[1 : 1 + nd]
+    ddb = outs[1 + nd : 1 + 2 * nd]
+    dcW = outs[1 + 2 * nd : 1 + 2 * nd + nc]
+    dcb = outs[1 + 2 * nd + nc : 1 + 2 * nd + 2 * nc]
+    err_ref = outs[1 + 2 * nd + 2 * nc]
+    map_ref = outs[2 + 2 * nd + 2 * nc]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in outs[: 1 + n_params]:
+            r[...] = jnp.zeros_like(r)
+
+    B = xt_ref.shape[1]
+    xx = jnp.clip(xt_ref[:], 0.0, 1.0)
+    fwd_dims = (((0,), (0,)), ((), ()))
+    acc_dims = (((1,), (1,)), ((), ()))
+
+    # ---- forward (identical math to _bwd_kernel's recompute, but here it
+    # IS the primal — residuals stay in VMEM for the in-kernel backward) ----
+    u_all, W_all, enc_parts = [], [], []
+    rows = [cfg.level_rows_dup(R) for R in cfg.resolutions]
+    for l, R in enumerate(cfg.resolutions):
+        Tl = rows[l]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Tl, B), 0).astype(
+            jnp.float32
+        )
+        pos = xx * R
+        u, Ws = [], []
+        for a in range(3):
+            W = _hat_weights(pos[a : a + 1], iota, R, cfg.level_fold(R), wdtype,
+                             cfg.fold, fold_salt(l, a), dup=True)
+            Ws.append(W)
+            u.append(
+                jax.lax.dot_general(
+                    lines_ref[l, a, :Tl, :].astype(wdtype), W, fwd_dims,
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        u_all.append(u)
+        W_all.append(Ws)
+        enc_parts.append(u[0] * u[1] * u[2])
+    enc = jnp.concatenate(enc_parts, axis=0)
+
+    dWv = [w[:] for w in dW]
+    dbv = [b[:] for b in db]
+    cWv = [w[:] for w in cW]
+    cbv = [b[:] for b in cb]
+    feat, d_pres = _mlp_fwd_cf(enc, dWv, dbv, wdtype, save_pre=True)
+    sigma = _sigma_row(feat)  # (1, B)
+    h = jnp.concatenate([feat, _sh4_rows(vd_ref[:])], axis=0)
+    rgb_l, c_pres = _mlp_fwd_cf(h, cWv, cbv, wdtype, save_pre=True)
+    sig = jax.nn.sigmoid(rgb_l)  # (3, B)
+
+    # ---- per-ray compositing + MSE (S native 128-lane slices) ------------
+    dists = dist_ref[:]  # (1, B)
+    alpha = 1.0 - jnp.exp(-sigma * dists)  # σ arrives exp-activated ≥ 0
+    trans = jnp.ones((1, RB), jnp.float32)
+    rgb_map = jnp.zeros((3, RB), jnp.float32)
+    acc = jnp.zeros((1, RB), jnp.float32)
+    Ts, ws = [], []
+    for s in range(S):
+        sl = slice(s * RB, (s + 1) * RB)
+        a_s = alpha[:, sl]
+        w_s = a_s * trans
+        rgb_map = rgb_map + w_s * sig[:, sl]
+        acc = acc + w_s
+        Ts.append(trans)
+        ws.append(w_s)
+        trans = trans * (1.0 - a_s + 1e-10)
+    if white_bg:
+        rgb_map = rgb_map + (1.0 - acc)
+    diff = rgb_map - tgt_ref[:]  # (3, RB)
+    err_ref[...] = jnp.sum(diff * diff, axis=0, keepdims=True)
+    map_ref[0:3, :] = rgb_map
+    map_ref[3:4, :] = acc
+    gmap = (2.0 * inv_denom) * diff  # dL/d(rgb_map), (3, RB)
+
+    # ---- compositing backward --------------------------------------------
+    # rgb_map_c = Σ_s w_s·sig_c,s [+ white·(1 − Σ_s w_s)]
+    #   ⇒ dL/dw_s = Σ_c gmap_c·(sig_c,s − white)
+    # w_s = α_s·T_s, T_{s+1} = T_s·(1−α_s+ε). Division-free reverse
+    # recurrence (the suffix/(1−α+ε) form overflows when α → 1):
+    #   dL/dα_s = (dw_s − dT_{s+1})·T_s
+    #   dT_s    = dw_s·α_s + dT_{s+1}·(1−α_s+ε),   dT_S = 0
+    # α = 1−exp(−σ·d) ⇒ dα/dσ = (1−α)·d.
+    gsum = jnp.sum(gmap, axis=0, keepdims=True)  # (1, RB)
+    dw = []
+    dsig_sl = [None] * S
+    for s in range(S):
+        sl = slice(s * RB, (s + 1) * RB)
+        t1 = jnp.sum(gmap * sig[:, sl], axis=0, keepdims=True)
+        if white_bg:
+            t1 = t1 - gsum
+        dw.append(t1)
+        dsig_sl[s] = gmap * ws[s]  # (3, RB)
+    dT = jnp.zeros((1, RB), jnp.float32)
+    dsigma_sl = [None] * S
+    for s in reversed(range(S)):
+        sl = slice(s * RB, (s + 1) * RB)
+        a_s = alpha[:, sl]
+        da_s = (dw[s] - dT) * Ts[s]
+        dT = dw[s] * a_s + dT * (1.0 - a_s + 1e-10)
+        dsigma_sl[s] = da_s * (1.0 - a_s) * dists[:, sl]
+    g_sig = jnp.concatenate(dsig_sl, axis=1)  # (3, B)
+    g_rgb = g_sig * sig * (1.0 - sig)  # sigmoid backward
+    g_sigma = jnp.concatenate(dsigma_sl, axis=1)  # (1, B)
+
+    # ---- MLP + encoder backward (same structure as _bwd_kernel) ----------
+    dh, dcWs, dcbs = _mlp_bwd_cf(g_rgb, c_pres, cWv, wdtype)
+    d_feat = dh[: feat.shape[0], :]
+    z0 = feat[0:1]
+    live = jnp.logical_and(z0 > -15.0, z0 < 15.0)
+    dz0 = jnp.where(live, g_sigma * sigma, 0.0)
+    row0 = (
+        jax.lax.broadcasted_iota(jnp.int32, d_feat.shape, 0) == 0
+    ).astype(d_feat.dtype)
+    d_feat = d_feat + dz0 * row0
+    d_enc, ddWs, ddbs = _mlp_bwd_cf(d_feat, d_pres, dWv, wdtype)
+
+    for i in range(nc):
+        dcW[i][...] += dcWs[i]
+        dcb[i][...] += dcbs[i]
+    for i in range(nd):
+        ddW[i][...] += ddWs[i]
+        ddb[i][...] += ddbs[i]
+
+    C = cfg.n_components
+    for l, R in enumerate(cfg.resolutions):
+        u = u_all[l]
+        Tl = rows[l]
+        g_l = d_enc[l * C : (l + 1) * C, :]
+        others = [u[1] * u[2], u[0] * u[2], u[0] * u[1]]
+        for a in range(3):
+            grad_u = (g_l * others[a]).astype(wdtype)
+            dlines_ref[l, a, :Tl, :] += jax.lax.dot_general(
+                W_all[l][a], grad_u, acc_dims,
+                preferred_element_type=jnp.float32,
+            )
+
+
+def ngp_fused_train_cf(params, xt, vdt, dists, tgt_cf, cfg: CPGridConfig,
+                       S: int, white_bg: bool, inv_denom: float,
+                       interpret: bool = False):
+    """One-invocation fused fine train pass.
+
+    Args:
+      params: same dict as :func:`ngp_fused_apply_cf`.
+      xt/vdt: (3, N) unit-cube points / unit view dirs, N = nb·S·128,
+        block-sample-major (lane index = block·S·128 + s·128 + r).
+      dists: (1, N) per-sample compositing intervals (already × ‖rays_d‖,
+        1e10 sentinel at s = S−1), same layout.
+      tgt_cf: (3, R) target pixels, R = nb·128 (ray-major).
+      S: samples per ray; white_bg: compose onto white; inv_denom:
+        dL/d(rgb_map) scale = 1/(3·R_total_real) for a mean-MSE loss.
+
+    Returns (err (1, R) per-ray squared error, maps (4, R) rgb_map+acc,
+    d_params dict mirroring ``params`` — ``lines`` cotangent still in
+    dup-row layout; callers apply :func:`fold_dlines`). NOT differentiable —
+    it IS the gradient computation.
+    """
+    RB = RAYS_PER_BLOCK
+    n = xt.shape[1]
+    if n % (S * RB):
+        raise ValueError(f"N={n} must be a multiple of S·{RB}={S * RB}")
+    n_blocks = n // (S * RB)
+    n_rays = n_blocks * RB
+    if tgt_cf.shape != (3, n_rays):
+        raise ValueError(f"tgt_cf {tgt_cf.shape} != (3, {n_rays})")
+    nd, nc = len(params["dW"]), len(params["cW"])
+    wdtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+    block = S * RB
+
+    flat = _flatten_params(params)
+    flat[0] = dup_lines(flat[0], cfg)
+    acc_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in flat]
+    out_shapes = acc_shapes + [
+        jax.ShapeDtypeStruct((1, n_rays), jnp.float32),
+        jax.ShapeDtypeStruct((4, n_rays), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec(s.shape, lambda i, _s=s: (0,) * len(_s.shape),
+                     memory_space=pltpu.VMEM)
+        for s in acc_shapes
+    ] + [
+        pl.BlockSpec((1, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_train_kernel, cfg=cfg, nd=nd, nc=nc, wdtype=wdtype,
+                          S=S, white_bg=white_bg, inv_denom=inv_denom),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(xt, vdt, dists, tgt_cf, *flat)
+
+    d_params = {
+        "lines": outs[0],
+        "dW": list(outs[1 : 1 + nd]),
+        "db": list(outs[1 + nd : 1 + 2 * nd]),
+        "cW": list(outs[1 + 2 * nd : 1 + 2 * nd + nc]),
+        "cb": list(outs[1 + 2 * nd + nc : 1 + 2 * nd + 2 * nc]),
+    }
+    err = outs[1 + 2 * nd + 2 * nc]
+    maps = outs[2 + 2 * nd + 2 * nc]
+    return err, maps, d_params
+
+
 def ngp_fused_apply(params, x, vd, cfg, block: int = DEFAULT_BLOCK,
                     interpret: bool = False):
     """Compatibility wrapper over :func:`ngp_fused_apply_cf` with

@@ -240,6 +240,11 @@ class ClassicNerf:
             return None, None
         return coarse, fine
 
+    def fused_objective_fn(self, near, far, settings):
+        """Optional single-kernel loss+grads path; the classic engine has
+        none (NGPEngine overrides — see ngp_engine.fused_objective_fn)."""
+        return None
+
     def resolved_coarse_loss_weight(self) -> float:
         """nerf.coarse_loss_weight with -1 resolved to the engine default.
         Classic: 1.0 — the separate coarse network trains only through the
@@ -366,6 +371,8 @@ class ClassicNerf:
             # sampler study — see RenderSettings.pixel_sampler).
             sampler = "shuffled"
 
+        fused_objective = self.fused_objective_fn(near, far, settings)
+
         def train_step(state: TrainState, images, poses, ray_buf=None):
             key, k_batch, k_render = jax.random.split(state.key, 3)
             if sampler == "shuffled":
@@ -377,9 +384,14 @@ class ClassicNerf:
                 batch = sample_batch_shuffled(k_batch, ray_buf)
             else:
                 batch = sample_batch(k_batch, images, poses)
-            (loss, (loss_c, loss_f)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params, batch, k_render, state.aux)
+            if fused_objective is not None:
+                (loss, (loss_c, loss_f)), grads = fused_objective(
+                    state.params, batch, k_render, state.aux
+                )
+            else:
+                (loss, (loss_c, loss_f)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, batch, k_render, state.aux)
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
             )

@@ -243,6 +243,130 @@ class NGPEngine(ClassicNerf):
         coarse = self.apply_sigma_cf if sigma_only else self.apply_cf
         return coarse, self.apply_cf
 
+    def _fused_grads_to_tree(self, d_fused):
+        """Transpose of :meth:`_fused_params`: raw fused-kernel cotangents →
+        the flax param-tree structure (so optax sees the same pytree as
+        ``jax.grad`` would produce)."""
+        from ..ops.ngp_fused_pallas import fold_dlines
+
+        cfg = self.ngp_config
+        d_names = [f"density_{i}" for i in range(cfg.density_layers - 1)]
+        d_names.append("density_out")
+        c_names = [f"color_{i}" for i in range(cfg.color_layers - 1)]
+        c_names.append("color_out")
+        p = {"cp_lines": fold_dlines(d_fused["lines"], cfg.cp)}
+        for n, w, b in zip(d_names, d_fused["dW"], d_fused["db"]):
+            p[n] = {"kernel": w, "bias": b[:, 0]}
+        for n, w, b in zip(c_names, d_fused["cW"], d_fused["cb"]):
+            p[n] = {"kernel": w, "bias": b[:, 0]}
+        return {"params": p}
+
+    def fused_objective_fn(self, near, far, settings):
+        """One-invocation train objective (ops/ngp_fused_pallas
+        ``ngp_fused_train_cf``): σ-coarse proposal stage as usual, then fine
+        forward + per-ray compositing + MSE + full backward in a single
+        Pallas kernel. Returns a callable with the same signature/result as
+        ``value_and_grad(loss_fn, has_aux=True)`` — ((loss, (loss_c,
+        loss_f)), grads) — or None when the step shape isn't eligible
+        (then loop.py falls back to the autodiff path).
+
+        Eligibility mirrors the flagship step exactly: fused cp encoder,
+        proposal-only coarse pass (coarse_loss_weight 0), importance fine
+        samples (merge off — NGPEngine forces it), viewdirs on, no density
+        noise, and a ray count divisible by the kernel's 128-ray block.
+        """
+        from ..ops.ngp_fused_pallas import RAYS_PER_BLOCK
+
+        mode = getattr(self.ngp_config, "fused_train", "auto")
+        mode = {True: "on", False: "off"}.get(mode, mode)
+        if mode == "off":
+            return None
+        eligible = (
+            self.fused
+            and self.resolved_coarse_loss_weight() == 0.0
+            and settings.num_fine > 0
+            and self.cfg.nerf.use_viewdirs
+            and settings.radiance_field_noise_std == 0.0
+            and self.cfg.nerf.num_random_rays % RAYS_PER_BLOCK == 0
+        )
+        if not eligible:
+            if mode == "on":
+                raise ValueError(
+                    "ngp.fused_train: on requires the fused cp encoder, "
+                    "coarse_loss_weight 0, num_fine > 0, use_viewdirs, "
+                    "noise_std 0, and num_random_rays % 128 == 0"
+                )
+            return None
+
+        from ..ops.ngp_fused_pallas import ngp_fused_train_cf
+        from ..ops.sampling import hierarchical_sample, stratified_sample
+        from ..ops.volume_render import raw2outputs_cf
+
+        S = settings.num_fine
+        RB = RAYS_PER_BLOCK
+        white_bg = settings.white_background
+
+        def objective(params, batch, key, aux):
+            rays_o, rays_d, viewdirs, target = batch
+            n_rays = rays_o.shape[0]
+            # Same key split structure as render_rays so the coarse stage
+            # (and therefore loss values) match the autodiff path exactly.
+            k_strat, _k_noise_c, k_pdf, _k_noise_f = jax.random.split(key, 4)
+            prop = self.proposal_for(aux, near, far, settings)
+            if prop is not None:
+                z_coarse = prop(k_strat, rays_o, rays_d)
+            else:
+                z_coarse = stratified_sample(
+                    k_strat, n_rays, settings.num_coarse, near, far,
+                    perturb=settings.perturb, lindisp=settings.lindisp,
+                )
+            pts_c = (rays_o[..., None, :]
+                     + rays_d[..., None, :] * z_coarse[..., :, None])
+            raw4c = self.apply_sigma_cf(params["coarse"], pts_c, None)
+            coarse = raw2outputs_cf(
+                raw4c, z_coarse, rays_d, noise_std=0.0,
+                white_background=white_bg,
+            )
+            loss_c = jnp.mean((coarse.rgb - target) ** 2)
+            z_fine = hierarchical_sample(
+                k_pdf, z_coarse, jax.lax.stop_gradient(coarse.weights), S,
+                deterministic=not settings.perturb, merge=False,
+            )  # (R, S), sorted
+
+            # ---- block-sample-major kernel inputs (lane = s·128 + r) ----
+            nb = n_rays // RB
+            z_bsm = z_fine.reshape(nb, RB, S).transpose(0, 2, 1)  # (nb,S,RB)
+            d_norm = jnp.linalg.norm(rays_d, axis=-1)  # (R,)
+            dd = z_bsm[:, 1:, :] - z_bsm[:, :-1, :]
+            dd = jnp.concatenate(
+                [dd, jnp.full_like(dd[:, :1, :], 1e10)], axis=1
+            ) * d_norm.reshape(nb, 1, RB)
+            dists = dd.reshape(1, -1)
+            o_cf = rays_o.T.reshape(3, nb, 1, RB)
+            d_cf = rays_d.T.reshape(3, nb, 1, RB)
+            pts = o_cf + d_cf * z_bsm[None]  # (3, nb, S, RB)
+            if self.contracted:
+                xt = self._to_unit(pts.reshape(3, -1).T).T  # needs (..., 3)
+            else:
+                xt = self._to_unit(pts.reshape(3, -1))  # elementwise map
+            xt = jax.lax.stop_gradient(xt)
+            vdt = jnp.broadcast_to(
+                viewdirs.T.reshape(3, nb, 1, RB), (3, nb, S, RB)
+            ).reshape(3, -1)
+            tgt_cf = target.T  # (3, R)
+
+            err, _maps, d_fused = ngp_fused_train_cf(
+                self._fused_params(params["coarse"]), xt, vdt, dists,
+                tgt_cf, self.ngp_config.cp, S, white_bg,
+                inv_denom=1.0 / (3.0 * n_rays),
+                interpret=jax.default_backend() != "tpu",
+            )
+            loss_f = jnp.sum(err) / (3.0 * n_rays)
+            grads = {"coarse": self._fused_grads_to_tree(d_fused)}
+            return (loss_f, (loss_c, loss_f)), grads
+
+        return objective
+
     def resolved_coarse_loss_weight(self) -> float:
         """NGP default 0.0: passes share parameters, so the coarse MSE is a
         competing blurry objective (measured -2 dB on machina) and its
@@ -433,22 +557,40 @@ class NGPEngine(ClassicNerf):
 
     def density_grid(self, params, resolution: int = 128):
         """Query σ on a regular grid over the scene AABB — feeds marching
-        cubes and the occupancy diagnostics. Returns (R, R, R) densities."""
-        b = self.scene_bound
-        lin = jnp.linspace(-b, b, resolution)
-        # Axis order contract: grid[i, j, k] = sigma(x=lin[i], y=lin[j],
-        # z=lin[k]) — both mesh extractors ((x*ny + y)*nz + z in
-        # native/mesh_extract.cpp and the numpy fallback) place vertex x
-        # along axis 0. meshgrid('ij') output n varies along axis n.
-        xs, ys, zs = jnp.meshgrid(lin, lin, lin, indexing="ij")
-        pts = jnp.stack([xs, ys, zs], axis=-1).reshape(-1, 3)
+        cubes and the occupancy diagnostics. Returns (R, R, R) densities.
 
-        def chunk_density(p):
-            sigma, _ = self.model.apply(
-                params["coarse"], self._to_unit(p), method=NGPModel.density
-            )
-            return sigma
+        The whole grid query runs as ONE jitted dispatch (lax.map over
+        plane chunks INSIDE jit). Calling lax.map eagerly here dispatched
+        each of the R plane chunks as a separate device round-trip, which
+        over the remote-chip tunnel cost ~600 s at 256³ — vs ~1 s jitted.
+        """
+        if not hasattr(self, "_density_grid_jit"):
+            self._density_grid_jit = {}
+        fn = self._density_grid_jit.get(resolution)
+        if fn is None:
+            b = self.scene_bound
 
-        chunks = pts.reshape(resolution, resolution * resolution, 3)
-        sigmas = jax.lax.map(chunk_density, chunks)
-        return sigmas.reshape(resolution, resolution, resolution)
+            def grid_fn(params):
+                lin = jnp.linspace(-b, b, resolution)
+                # Axis order contract: grid[i, j, k] = sigma(x=lin[i],
+                # y=lin[j], z=lin[k]) — both mesh extractors
+                # ((x*ny + y)*nz + z in native/mesh_extract.cpp and the
+                # numpy fallback) place vertex x along axis 0.
+                # meshgrid('ij') output n varies along axis n.
+                xs, ys, zs = jnp.meshgrid(lin, lin, lin, indexing="ij")
+                pts = jnp.stack([xs, ys, zs], axis=-1).reshape(-1, 3)
+
+                def chunk_density(p):
+                    sigma, _ = self.model.apply(
+                        params["coarse"], self._to_unit(p),
+                        method=NGPModel.density,
+                    )
+                    return sigma
+
+                chunks = pts.reshape(resolution, resolution * resolution, 3)
+                sigmas = jax.lax.map(chunk_density, chunks)
+                return sigmas.reshape(resolution, resolution, resolution)
+
+            fn = jax.jit(grid_fn)
+            self._density_grid_jit[resolution] = fn
+        return fn(params)

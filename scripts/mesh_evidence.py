@@ -64,7 +64,15 @@ def main() -> None:
         "secs": round(time.perf_counter() - t0, 2),
         "reference_cell28": {"verts": 2699441, "tris": 5167090,
                              "scene": "fox (different scene; same export "
-                                      "path/scale)"},
+                                      "path/scale)",
+                             "comparability": "columns are NOT directly "
+                             "comparable: the reference runs marching CUBES "
+                             "(≤5 tris/cell) on fox; this repo runs marching "
+                             "TETRAHEDRA (6 tets/cell, ≤2 tris each → ~2× "
+                             "the triangle count for the same surface) on "
+                             "machina. Both emit globally WELDED indexed "
+                             "meshes (V≈T/2); compare the V/T ratio, not "
+                             "absolute counts"},
     }
     print("256^3:", stats["res256"])
 

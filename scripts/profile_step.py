@@ -133,8 +133,15 @@ def main():
 
     # --- full train step --------------------------------------------------
     raw_step = engine._build_train_step(ds.intrinsics, ds.near, ds.far, False)
+    ray_buf = None
+    if cfg.nerf.train.pixel_sampler == "shuffled":
+        from nerf_kinematics_tpu.train.loop import build_shuffled_ray_buffer
+
+        ray_buf = build_shuffled_ray_buffer(
+            images, poses, ds.intrinsics, seed=0
+        )
     t_step = measure("full train step",
-                     lambda e: raw_step(state, images + e, poses))
+                     lambda e: raw_step(state, images + e, poses, ray_buf))
 
     # --- model fwd+bwd (engine dispatch: fused or unfused) ----------------
     def model_loss(p, e):

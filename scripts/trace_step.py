@@ -69,14 +69,21 @@ def main():
     images, poses = trainer.images, trainer.poses
     step = engine.make_train_step(ds.intrinsics, ds.near, ds.far, False,
                                   donate=False)
+    ray_buf = None
+    if cfg.nerf.train.pixel_sampler == "shuffled":
+        from nerf_kinematics_tpu.train.loop import build_shuffled_ray_buffer
+
+        ray_buf = build_shuffled_ray_buffer(
+            images, poses, ds.intrinsics, seed=0
+        )
     # warm
     for _ in range(3):
-        state, m = step(state, images, poses)
+        state, m = step(state, images, poses, ray_buf)
         float(m["loss"])
 
     with jax.profiler.trace(args.logdir):
         for _ in range(args.steps):
-            state, m = step(state, images, poses)
+            state, m = step(state, images, poses, ray_buf)
         float(m["loss"])
 
     stats = hlo_stats(args.logdir)
