@@ -98,7 +98,11 @@ class NGPConfig:
     # the flagship step). "auto" = on whenever the step shape is eligible
     # (fused encoder, coarse_loss_weight 0, num_fine > 0, viewdirs, no
     # density noise, rays % 128 == 0); "on" = require (raise if not
-    # eligible); "off" = always use the autodiff path.
+    # eligible); "off" = always use the autodiff path; "full" = the
+    # whole-step kernel (hull proposal + inverse-CDF sampling + σ-coarse
+    # in-kernel too) — measured SLOWER than the two-kernel default on v5e
+    # (4.55 vs 4.11 ms/step: the monolith's serialized stages pipeline
+    # worse than separate invocations), kept as the measured record.
     fused_train: str = "auto"
 
     @classmethod

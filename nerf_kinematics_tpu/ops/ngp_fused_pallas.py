@@ -531,34 +531,28 @@ ngp_fused_apply_cf.defvjp(_fused_fwd_cf, _fused_bwd_cf)
 RAYS_PER_BLOCK = 128
 
 
-def _train_kernel(xt_ref, vd_ref, dist_ref, tgt_ref, lines_ref, *refs,
-                  cfg: CPGridConfig, nd: int, nc: int, wdtype, S: int,
-                  white_bg: bool, inv_denom: float):
-    """refs: dW, db, cW, cb (params) — then outputs: dlines, ddW[nd],
-    ddb[nd], dcW[nc], dcb[nc] (VMEM accumulators), err (1, RB),
-    maps (4, RB: rgb_map rows 0-2, acc row 3)."""
-    RB = RAYS_PER_BLOCK
+def _split_train_refs(refs, nd, nc):
+    """Common ref unpacking for the fused train kernels: params (dW, db,
+    cW, cb) then outputs (dlines, ddW, ddb, dcW, dcb, err, maps, *rest)."""
     n_params = 2 * nd + 2 * nc
     dW = [refs[i] for i in range(nd)]
     db = [refs[nd + i] for i in range(nd)]
     cW = [refs[2 * nd + i] for i in range(nc)]
     cb = [refs[2 * nd + nc + i] for i in range(nc)]
     outs = refs[n_params:]
-    dlines_ref = outs[0]
-    ddW = outs[1 : 1 + nd]
-    ddb = outs[1 + nd : 1 + 2 * nd]
-    dcW = outs[1 + 2 * nd : 1 + 2 * nd + nc]
-    dcb = outs[1 + 2 * nd + nc : 1 + 2 * nd + 2 * nc]
-    err_ref = outs[1 + 2 * nd + 2 * nc]
-    map_ref = outs[2 + 2 * nd + 2 * nc]
+    return dW, db, cW, cb, outs
 
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        for r in outs[: 1 + n_params]:
-            r[...] = jnp.zeros_like(r)
 
-    B = xt_ref.shape[1]
-    xx = jnp.clip(xt_ref[:], 0.0, 1.0)
+def _fine_stage(xt, vd, dists, tgt, lines_ref, dW, db, cW, cb,
+                dlines_ref, ddW, ddb, dcW, dcb, err_ref, map_ref,
+                cfg: CPGridConfig, nd: int, nc: int, wdtype, S: int,
+                white_bg: bool, inv_denom: float):
+    """Fine pass on in-VMEM values: forward → per-ray compositing → MSE →
+    full backward, accumulating parameter grads. ``xt``/``vd`` (3, B) and
+    ``dists`` (1, B) are sample-major (lane = s·RB + r); ``tgt`` (3, RB)."""
+    RB = RAYS_PER_BLOCK
+    B = xt.shape[1]
+    xx = jnp.clip(xt, 0.0, 1.0)
     fwd_dims = (((0,), (0,)), ((), ()))
     acc_dims = (((1,), (1,)), ((), ()))
 
@@ -594,12 +588,11 @@ def _train_kernel(xt_ref, vd_ref, dist_ref, tgt_ref, lines_ref, *refs,
     cbv = [b[:] for b in cb]
     feat, d_pres = _mlp_fwd_cf(enc, dWv, dbv, wdtype, save_pre=True)
     sigma = _sigma_row(feat)  # (1, B)
-    h = jnp.concatenate([feat, _sh4_rows(vd_ref[:])], axis=0)
+    h = jnp.concatenate([feat, _sh4_rows(vd)], axis=0)
     rgb_l, c_pres = _mlp_fwd_cf(h, cWv, cbv, wdtype, save_pre=True)
     sig = jax.nn.sigmoid(rgb_l)  # (3, B)
 
     # ---- per-ray compositing + MSE (S native 128-lane slices) ------------
-    dists = dist_ref[:]  # (1, B)
     alpha = 1.0 - jnp.exp(-sigma * dists)  # σ arrives exp-activated ≥ 0
     trans = jnp.ones((1, RB), jnp.float32)
     rgb_map = jnp.zeros((3, RB), jnp.float32)
@@ -616,7 +609,7 @@ def _train_kernel(xt_ref, vd_ref, dist_ref, tgt_ref, lines_ref, *refs,
         trans = trans * (1.0 - a_s + 1e-10)
     if white_bg:
         rgb_map = rgb_map + (1.0 - acc)
-    diff = rgb_map - tgt_ref[:]  # (3, RB)
+    diff = rgb_map - tgt  # (3, RB)
     err_ref[...] = jnp.sum(diff * diff, axis=0, keepdims=True)
     map_ref[0:3, :] = rgb_map
     map_ref[3:4, :] = acc
@@ -683,6 +676,30 @@ def _train_kernel(xt_ref, vd_ref, dist_ref, tgt_ref, lines_ref, *refs,
                 W_all[l][a], grad_u, acc_dims,
                 preferred_element_type=jnp.float32,
             )
+
+
+def _train_kernel(xt_ref, vd_ref, dist_ref, tgt_ref, lines_ref, *refs,
+                  cfg: CPGridConfig, nd: int, nc: int, wdtype, S: int,
+                  white_bg: bool, inv_denom: float):
+    """Fine-only fused train kernel: the caller supplies points/dirs/dists;
+    this unpacks refs and runs :func:`_fine_stage`."""
+    dW, db, cW, cb, outs = _split_train_refs(refs, nd, nc)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in outs[: 1 + 2 * nd + 2 * nc]:
+            r[...] = jnp.zeros_like(r)
+
+    _fine_stage(
+        xt_ref[:], vd_ref[:], dist_ref[:], tgt_ref[:], lines_ref,
+        dW, db, cW, cb,
+        outs[0], outs[1 : 1 + nd], outs[1 + nd : 1 + 2 * nd],
+        outs[1 + 2 * nd : 1 + 2 * nd + nc],
+        outs[1 + 2 * nd + nc : 1 + 2 * nd + 2 * nc],
+        outs[1 + 2 * nd + 2 * nc], outs[2 + 2 * nd + 2 * nc],
+        cfg=cfg, nd=nd, nc=nc, wdtype=wdtype, S=S, white_bg=white_bg,
+        inv_denom=inv_denom,
+    )
 
 
 def ngp_fused_train_cf(params, xt, vdt, dists, tgt_cf, cfg: CPGridConfig,
@@ -758,6 +775,278 @@ def ngp_fused_train_cf(params, xt, vdt, dists, tgt_cf, cfg: CPGridConfig,
     err = outs[1 + 2 * nd + 2 * nc]
     maps = outs[2 + 2 * nd + 2 * nc]
     return err, maps, d_params
+
+
+# ---------------------------------------------------------------------------
+# WHOLE-STEP fused train kernel: hull proposal → inverse-CDF coarse depths →
+# σ-coarse network pass → compositing weights → inverse-CDF fine depths →
+# fine forward + compositing + MSE + backward, all per 128-ray block in ONE
+# invocation. The only XLA work left in the train step is the ray-batch
+# slice, (3, R) transposes, the occupancy pair-projections (3 max-reduces),
+# two stratified-uniform draws, and the optimizer.
+#
+# Mirrors ops/occupancy.occupancy_sample (hull mode) + ops/sampling
+# .sample_pdf + renderer coarse compositing EXACTLY — parity is tested
+# against those functions (tests/test_fused_train.py).
+# ---------------------------------------------------------------------------
+
+
+def _cdf_rows(w_rows):
+    """List of M (1, RB) unnormalized weights → (CDF (M+1, RB), same
+    +1e-5/normalize semantics as ops/sampling.sample_pdf."""
+    w = [r + 1e-5 for r in w_rows]
+    tot = w[0]
+    for r in w[1:]:
+        tot = tot + r
+    rows = [jnp.zeros_like(w[0])]
+    for r in w:
+        rows.append(rows[-1] + r / tot)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _inv_cdf_rows(cdf, edges, u, n_out):
+    """Inverse-transform sampling, ops/sampling.sample_pdf math on sublane-
+    stacked rows: ``cdf`` (M+1, RB), ``edges`` (M+1, RB) or (M+1, 1),
+    ``u`` (n_out, RB) sorted per ray → list of n_out (1, RB) depths."""
+    M1, RB = cdf.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (M1, RB), 0)
+    out = []
+    for s in range(n_out):
+        us = u[s : s + 1]
+        cnt = jnp.sum((cdf <= us).astype(jnp.int32), axis=0, keepdims=True)
+        inds = jnp.clip(cnt, 1, M1 - 1)
+        ob = (iota == (inds - 1)).astype(jnp.float32)
+        oa = (iota == inds).astype(jnp.float32)
+        cdf_lo = jnp.sum(cdf * ob, axis=0, keepdims=True)
+        cdf_hi = jnp.sum(cdf * oa, axis=0, keepdims=True)
+        e_lo = jnp.sum(edges * ob, axis=0, keepdims=True)
+        e_hi = jnp.sum(edges * oa, axis=0, keepdims=True)
+        den = cdf_hi - cdf_lo
+        den = jnp.where(den < 1e-5, 1.0, den)
+        frac = (us - cdf_lo) / den
+        out.append(e_lo + frac * (e_hi - e_lo))
+    return out
+
+
+def _train_full_kernel(o_ref, d_ref, vd_ref, tgt_ref, uc_ref, uf_ref,
+                       proj2_ref, lines_ref, *refs,
+                       cfg: CPGridConfig, nd: int, nc: int, wdtype,
+                       S: int, Sc: int, NB: int, Rg: int,
+                       white_bg: bool, inv_denom: float,
+                       near: float, far: float, inv_bound2: float,
+                       occ_floor: float):
+    """Whole-step kernel. Inputs per block: rays o/d/viewdirs/targets
+    (3, RB), coarse/fine inverse-CDF uniforms (Sc, RB)/(S, RB), occupancy
+    pair-projections (3, Rg, Rg) resident. Outputs as _train_kernel plus
+    err_c (1, RB) — the coarse background-composite squared error."""
+    RB = RAYS_PER_BLOCK
+    dW, db, cW, cb, outs = _split_train_refs(refs, nd, nc)
+    # Trailing refs are the VMEM scratch buffers (see scratch_shapes in
+    # ngp_fused_train_full_cf). Per-sample rows produced by the inverse-CDF
+    # sublane reductions carry arbitrary sublane offsets; Mosaic refuses to
+    # lane-concatenate mismatched-offset vectors ("result/input offset
+    # mismatch on non-concat dimension"), so sample-major (·, S·RB) arrays
+    # are assembled by STORING each row into scratch (stores re-lay-out),
+    # then reading the whole buffer back.
+    sc_ptsc, sc_ptsf, sc_distf = outs[-3:]
+    outs = outs[:-3]
+    errc_ref = outs[3 + 2 * nd + 2 * nc]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in outs[: 1 + 2 * nd + 2 * nc]:
+            r[...] = jnp.zeros_like(r)
+
+    o = o_ref[:]
+    d = d_ref[:]
+    d_norm = jnp.sqrt(jnp.sum(d * d, axis=0, keepdims=True))  # (1, RB)
+
+    # ---- stage A: hull-proposal weights on NB uniform bins ---------------
+    # (occupancy_sample: bins = linspace(near, far, NB+1), occ at bin mids
+    # via the visual-hull pair-projection min, normalized per ray + floor.)
+    step = (far - near) / NB
+    # o/d rows are plain ref loads (sublane offset 0), so this lane-concat
+    # is layout-uniform — no scratch needed (unlike the CDF-derived rows).
+    pb = jnp.concatenate(
+        [o + (near + (b + 0.5) * step) * d for b in range(NB)], axis=1
+    )  # (3, NB·RB) sample-major
+    unit = jnp.clip(pb * inv_bound2 + 0.5, 0.0, 1.0)
+    posg = jnp.floor(jnp.clip(unit * Rg, 0.0, Rg - 1.0))
+    giota = jax.lax.broadcasted_iota(
+        jnp.int32, (Rg, NB * RB), 0
+    ).astype(jnp.float32)
+    ox = (jnp.abs(posg[0:1] - giota) < 0.5).astype(jnp.bfloat16)
+    oy = (jnp.abs(posg[1:2] - giota) < 0.5).astype(jnp.bfloat16)
+    oz = (jnp.abs(posg[2:3] - giota) < 0.5).astype(jnp.bfloat16)
+    ab = (((1,), (0,)), ((), ()))
+
+    def bilinear(oa, P, ob):
+        m = jax.lax.dot_general(
+            P.astype(jnp.bfloat16), ob, ab,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sum(oa.astype(jnp.float32) * m, axis=0, keepdims=True)
+
+    occ = jnp.minimum(
+        bilinear(ox, proj2_ref[0], oy),
+        jnp.minimum(bilinear(ox, proj2_ref[1], oz),
+                    bilinear(oy, proj2_ref[2], oz)),
+    )  # (1, NB·RB)
+    occ_rows = [occ[:, b * RB : (b + 1) * RB] for b in range(NB)]
+    occ_max = occ_rows[0]
+    for r in occ_rows[1:]:
+        occ_max = jnp.maximum(occ_max, r)
+    w_rows = [r / (occ_max + 1e-9) + occ_floor for r in occ_rows]
+
+    # ---- stage B: inverse-CDF → coarse depths ----------------------------
+    edges_c = jnp.concatenate(
+        [jnp.full((1, RB), near + b * step, jnp.float32)
+         for b in range(NB + 1)], axis=0,
+    )  # (NB+1, RB)
+    z_c = _inv_cdf_rows(_cdf_rows(w_rows), edges_c, uc_ref[:], Sc)
+
+    # ---- stage C: σ-coarse pass + compositing weights --------------------
+    for s in range(Sc):
+        sc_ptsc[:, s * RB : (s + 1) * RB] = o + z_c[s] * d
+    xt_c = jnp.clip(sc_ptsc[:] * inv_bound2 + 0.5, 0.0, 1.0)
+    enc_c = _encode_block_cf(xt_c, lines_ref, cfg, wdtype)
+    feat_c, _ = _mlp_fwd_cf(enc_c, [w[:] for w in dW], [b[:] for b in db],
+                            wdtype)
+    sigma_c = _sigma_row(feat_c)  # (1, Sc·RB)
+    dists_c = [
+        (z_c[s + 1] - z_c[s]) * d_norm for s in range(Sc - 1)
+    ] + [jnp.full((1, RB), 1e10, jnp.float32) * d_norm]
+    trans = jnp.ones((1, RB), jnp.float32)
+    acc_c = jnp.zeros((1, RB), jnp.float32)
+    cw_rows = []
+    for s in range(Sc):
+        a_s = 1.0 - jnp.exp(-sigma_c[:, s * RB : (s + 1) * RB] * dists_c[s])
+        w_s = a_s * trans
+        acc_c = acc_c + w_s
+        cw_rows.append(w_s)
+        trans = trans * (1.0 - a_s + 1e-10)
+    # Coarse metric: the σ-only pass has zero rgb logits → sigmoid = 0.5
+    # gray composite (+ white background), exactly raw2outputs_cf's output.
+    v = 0.5 * acc_c + ((1.0 - acc_c) if white_bg else 0.0)
+    dv = v - tgt_ref[:]
+    errc_ref[...] = jnp.sum(dv * dv, axis=0, keepdims=True)
+
+    # ---- stage D: inverse-CDF → fine depths (hierarchical_sample) --------
+    # bins = coarse-depth midpoints, weights = interior coarse weights.
+    mids = [0.5 * (z_c[s] + z_c[s + 1]) for s in range(Sc - 1)]
+    edges_f = jnp.concatenate(mids, axis=0)  # (Sc-1, RB)
+    z_f = _inv_cdf_rows(
+        _cdf_rows(cw_rows[1:-1]), edges_f, uf_ref[:], S
+    )
+
+    # ---- stage E: fine forward + compositing + MSE + backward ------------
+    vd_b = vd_ref[:]
+    vdt = jnp.concatenate([vd_b] * S, axis=1)  # offset-uniform pieces
+    for s in range(S):
+        sl = slice(s * RB, (s + 1) * RB)
+        sc_ptsf[:, sl] = o + z_f[s] * d
+        sc_distf[:, sl] = (
+            (z_f[s + 1] - z_f[s]) * d_norm if s < S - 1
+            else jnp.full((1, RB), 1e10, jnp.float32) * d_norm
+        )
+    xt_f = jnp.clip(sc_ptsf[:] * inv_bound2 + 0.5, 0.0, 1.0)
+    _fine_stage(
+        xt_f, vdt, sc_distf[:], tgt_ref[:], lines_ref, dW, db, cW, cb,
+        outs[0], outs[1 : 1 + nd], outs[1 + nd : 1 + 2 * nd],
+        outs[1 + 2 * nd : 1 + 2 * nd + nc],
+        outs[1 + 2 * nd + nc : 1 + 2 * nd + 2 * nc],
+        outs[1 + 2 * nd + 2 * nc], outs[2 + 2 * nd + 2 * nc],
+        cfg=cfg, nd=nd, nc=nc, wdtype=wdtype, S=S, white_bg=white_bg,
+        inv_denom=inv_denom,
+    )
+
+
+def ngp_fused_train_full_cf(params, o_cf, d_cf, vd_cf, tgt_cf, u_coarse,
+                            u_fine, proj2, cfg: CPGridConfig,
+                            S: int, Sc: int, num_bins: int,
+                            white_bg: bool, inv_denom: float,
+                            near: float, far: float, bound: float,
+                            occ_floor: float, interpret: bool = False):
+    """Whole-train-step fused kernel (see _train_full_kernel).
+
+    Args:
+      o_cf/d_cf/vd_cf/tgt_cf: (3, R) rays origin/direction/viewdir/target,
+        R a multiple of 128.
+      u_coarse/u_fine: (Sc, R)/(S, R) sorted-per-ray inverse-CDF uniforms
+        (the sample_pdf stratified_u/deterministic draws, transposed).
+      proj2: (3, Rg, Rg) occupancy pair-projections (ops/occupancy
+        .pair_projections).
+      near/far/bound: scene geometry statics; occ_floor: proposal floor.
+
+    Returns (err (1, R), maps (4, R), err_c (1, R), d_params). Linear
+    [-bound, bound]³ → unit-cube mapping only (contracted scenes use the
+    two-kernel path).
+    """
+    RB = RAYS_PER_BLOCK
+    n_rays = o_cf.shape[1]
+    if n_rays % RB:
+        raise ValueError(f"R={n_rays} must be a multiple of {RB}")
+    n_blocks = n_rays // RB
+    nd, nc = len(params["dW"]), len(params["cW"])
+    wdtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+    Rg = proj2.shape[-1]
+
+    flat = _flatten_params(params)
+    flat[0] = dup_lines(flat[0], cfg)
+    acc_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in flat]
+    out_shapes = acc_shapes + [
+        jax.ShapeDtypeStruct((1, n_rays), jnp.float32),
+        jax.ShapeDtypeStruct((4, n_rays), jnp.float32),
+        jax.ShapeDtypeStruct((1, n_rays), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec(s.shape, lambda i, _s=s: (0,) * len(_s.shape),
+                     memory_space=pltpu.VMEM)
+        for s in acc_shapes
+    ] + [
+        pl.BlockSpec((1, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    ray_spec = pl.BlockSpec((3, RB), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(
+            _train_full_kernel, cfg=cfg, nd=nd, nc=nc, wdtype=wdtype,
+            S=S, Sc=Sc, NB=num_bins, Rg=Rg, white_bg=white_bg,
+            inv_denom=inv_denom, near=float(near), far=float(far),
+            inv_bound2=1.0 / (2.0 * float(bound)),
+            occ_floor=float(occ_floor),
+        ),
+        grid=(n_blocks,),
+        in_specs=[
+            ray_spec, ray_spec, ray_spec, ray_spec,
+            pl.BlockSpec((Sc, RB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, RB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((3, Sc * RB), jnp.float32),  # coarse points
+            pltpu.VMEM((3, S * RB), jnp.float32),   # fine points
+            pltpu.VMEM((1, S * RB), jnp.float32),   # fine dists
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(o_cf, d_cf, vd_cf, tgt_cf, u_coarse, u_fine, proj2, *flat)
+
+    d_params = {
+        "lines": outs[0],
+        "dW": list(outs[1 : 1 + nd]),
+        "db": list(outs[1 + nd : 1 + 2 * nd]),
+        "cW": list(outs[1 + 2 * nd : 1 + 2 * nd + nc]),
+        "cb": list(outs[1 + 2 * nd + nc : 1 + 2 * nd + 2 * nc]),
+    }
+    base = 1 + 2 * nd + 2 * nc
+    return outs[base], outs[base + 1], outs[base + 2], d_params
 
 
 def ngp_fused_apply(params, x, vd, cfg, block: int = DEFAULT_BLOCK,

@@ -303,8 +303,73 @@ class NGPEngine(ClassicNerf):
         from ..ops.volume_render import raw2outputs_cf
 
         S = settings.num_fine
+        Sc = settings.num_coarse
         RB = RAYS_PER_BLOCK
         white_bg = settings.white_background
+
+        # Whole-step kernel (proposal + σ-coarse + CDFs + fine + backward in
+        # ONE invocation) — the hull-proposal linear-bound flagship shape.
+        # Other shapes (no occupancy, grid/projected proposal, contracted
+        # scenes) use the fine-only kernel below with the XLA coarse stage.
+        # Measured A/B on v5e (flagship shape, scan-timed, floor-corrected):
+        # two-kernel path 4.11 ms/step vs whole-step kernel 4.55 — the
+        # separate hull-proposal and σ-coarse invocations pipeline better
+        # than the monolith's serialized in-kernel stages, so "auto"/"on"
+        # take the two-kernel path and "full" is the explicit opt-in.
+        full = (
+            mode == "full"
+            and self.ngp_config.use_occupancy
+            and self.ngp_config.occ_proposal == "hull"
+            and not self.contracted
+            and isinstance(near, (int, float))
+            and isinstance(far, (int, float))
+        )
+        if mode == "full" and not full:
+            raise ValueError(
+                "ngp.fused_train: full requires the hull occupancy proposal "
+                "on a non-contracted scene with static near/far"
+            )
+        if full:
+            from ..ops.ngp_fused_pallas import ngp_fused_train_full_cf
+            from ..ops.occupancy import pair_projections
+
+            num_bins = self.ngp_config.occ_bins
+            occ_floor = self.ngp_config.occ_floor
+            bound = self.scene_bound
+
+            def sample_u(key, n_rays, n_out):
+                # sample_pdf's u draw (deterministic linspace under
+                # perturb: false, else stratified jittered-linspace).
+                if not settings.perturb:
+                    u = jnp.linspace(0.0, 1.0, n_out, dtype=jnp.float32)
+                    return jnp.broadcast_to(u, (n_rays, n_out))
+                base = jnp.arange(n_out, dtype=jnp.float32) / n_out
+                jitter = jax.random.uniform(
+                    key, (n_rays, n_out), dtype=jnp.float32
+                ) / n_out
+                return base + jitter
+
+            def objective_full(params, batch, key, aux):
+                rays_o, rays_d, viewdirs, target = batch
+                n_rays = rays_o.shape[0]
+                k_strat, _k_nc, k_pdf, _k_nf = jax.random.split(key, 4)
+                err, _maps, err_c, d_fused = ngp_fused_train_full_cf(
+                    self._fused_params(params["coarse"]),
+                    rays_o.T, rays_d.T, viewdirs.T, target.T,
+                    sample_u(k_strat, n_rays, Sc).T,
+                    sample_u(k_pdf, n_rays, S).T,
+                    pair_projections(aux),
+                    self.ngp_config.cp, S, Sc, num_bins, white_bg,
+                    inv_denom=1.0 / (3.0 * n_rays),
+                    near=near, far=far, bound=bound, occ_floor=occ_floor,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                loss_f = jnp.sum(err) / (3.0 * n_rays)
+                loss_c = jnp.sum(err_c) / (3.0 * n_rays)
+                grads = {"coarse": self._fused_grads_to_tree(d_fused)}
+                return (loss_f, (loss_c, loss_f)), grads
+
+            return objective_full
 
         def objective(params, batch, key, aux):
             rays_o, rays_d, viewdirs, target = batch

@@ -70,8 +70,13 @@ def main():
     ap.add_argument("--fine", type=int, default=48)
     ap.add_argument("--fused", default=None, choices=["auto", "on", "off"],
                     help="override ngp.fused for A/B")
+    ap.add_argument("--fused-train", default=None,
+                    choices=["auto", "on", "off", "fine"],
+                    help="override ngp.fused_train for A/B")
     ap.add_argument("--fold", default=None, choices=["periodic", "hash"])
     ap.add_argument("--table", type=int, default=None)
+    ap.add_argument("--quick", action="store_true",
+                    help="only measure the full train step, then exit")
     args = ap.parse_args()
 
     import jax
@@ -95,6 +100,9 @@ def main():
     ), experiment=dataclasses.replace(cfg.experiment, logdir="/tmp/prof_logs"))
     if args.fused:
         cfg = cfg.replace(ngp=dataclasses.replace(cfg.ngp, fused=args.fused))
+    if args.fused_train:
+        cfg = cfg.replace(ngp=dataclasses.replace(
+            cfg.ngp, fused_train=args.fused_train))
     if args.fold or args.table:
         cp = dataclasses.replace(
             cfg.ngp.cp,
@@ -142,6 +150,9 @@ def main():
         )
     t_step = measure("full train step",
                      lambda e: raw_step(state, images + e, poses, ray_buf))
+    if args.quick:
+        print(f"  step (floor-corrected): {(t_step - t_floor)*1e3:.3f} ms")
+        return
 
     # --- model fwd+bwd (engine dispatch: fused or unfused) ----------------
     def model_loss(p, e):

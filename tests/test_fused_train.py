@@ -84,10 +84,22 @@ def _loss_and_grads(engine, state, batch, key, near=0.5, far=3.0):
 
 
 @pytest.mark.parametrize("white_bg", [True, False])
-def test_fused_objective_matches_autodiff(white_bg):
-    e_on = NGPEngine(_cfg("on", white_bg=white_bg), scene_bound=1.0)
-    e_off = NGPEngine(_cfg("off", white_bg=white_bg), scene_bound=1.0)
+@pytest.mark.parametrize("mode,use_occ", [
+    ("on", True),    # fine-only kernel behind the XLA hull-proposal stage
+    ("on", False),   # fine-only kernel behind the XLA stratified stage
+    ("full", True),  # whole-step kernel (in-kernel hull + both CDFs)
+])
+def test_fused_objective_matches_autodiff(white_bg, mode, use_occ):
+    e_on = NGPEngine(_cfg(mode, use_occupancy=use_occ, white_bg=white_bg),
+                     scene_bound=1.0)
+    e_off = NGPEngine(_cfg("off", use_occupancy=use_occ, white_bg=white_bg),
+                      scene_bound=1.0)
     state = e_on.init_state(0)
+    if use_occ:
+        # Fill the occupancy grid from the fresh net so the hull proposal
+        # actually shapes the coarse PDF (an all-zero grid degenerates to
+        # the uniform floor and would under-exercise the CDF math).
+        state = e_on.update_occupancy(state, full=True)
     batch = _batch()
     key = jax.random.PRNGKey(11)
 
