@@ -288,16 +288,31 @@ def occupancy_proposal_hull(
     """Gather-free proposal weights from the visual-hull proxy
     (:func:`occupancy_at_hull`; VMEM-resident Pallas kernel on TPU).
     Same contract as :func:`occupancy_proposal`."""
+    # The default linear map is elementwise, so the fast path below may
+    # apply it to a (3, N) array; a caller-supplied to_unit (the contracted
+    # map) expects (..., 3) and keeps the channels-last path.
+    linear = to_unit is None
     to_unit = to_unit or _linear_to_unit(grid)
     proj2 = pair_projections(grid)
     mids = 0.5 * (z_bins[..., 1:] + z_bins[..., :-1])
-    pts = rays_o[..., None, :] + rays_d[..., None, :] * mids[..., :, None]
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and linear and rays_o.ndim == 2:
         from .occupancy_pallas import occupancy_at_hull_pallas
 
+        # Build the kernel operand CHANNELS-FIRST directly — the obvious
+        # (R, B, 3) points array costs a (R·B, 3) → (3, R·B) transpose of
+        # ~6 MB per step on the 524k-point proposal batch.
+        pts_cf = (rays_o.T[:, :, None]
+                  + rays_d.T[:, :, None] * mids[None, :, :])  # (3, R, B)
+        xt = to_unit(pts_cf.reshape(3, -1))
+        occ = occupancy_at_hull_pallas(proj2, xt).reshape(mids.shape)
+    elif jax.default_backend() == "tpu":
+        from .occupancy_pallas import occupancy_at_hull_pallas
+
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * mids[..., :, None]
         xt = to_unit(pts).reshape(-1, 3).T
         occ = occupancy_at_hull_pallas(proj2, xt).reshape(pts.shape[:-1])
     else:
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * mids[..., :, None]
         occ = occupancy_at_hull(proj2, pts, to_unit)
     occ = occ / (jnp.max(occ, axis=-1, keepdims=True) + 1e-9)
     return occ + floor

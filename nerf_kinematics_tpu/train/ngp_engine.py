@@ -385,9 +385,26 @@ class NGPEngine(ClassicNerf):
                     k_strat, n_rays, settings.num_coarse, near, far,
                     perturb=settings.perturb, lindisp=settings.lindisp,
                 )
-            pts_c = (rays_o[..., None, :]
-                     + rays_d[..., None, :] * z_coarse[..., :, None])
-            raw4c = self.apply_sigma_cf(params["coarse"], pts_c, None)
+            # Channels-first point build — the (R·Sc, 3) → (3, R·Sc)
+            # transpose the channels-last build would cost is ~5 MB/step.
+            from ..ops.ngp_fused_pallas import (
+                DEFAULT_BLOCK,
+                ngp_fused_sigma_cf,
+            )
+
+            pts_c_cf = (rays_o.T[:, :, None]
+                        + rays_d.T[:, :, None] * z_coarse[None])  # (3,R,Sc)
+            xt_c = jax.lax.stop_gradient(
+                self._to_unit(pts_c_cf.reshape(3, -1))
+                if not self.contracted
+                else self._to_unit(pts_c_cf.reshape(3, -1).T).T
+            )
+            raw4c = ngp_fused_sigma_cf(
+                jax.lax.stop_gradient(self._fused_params(params["coarse"])),
+                xt_c, self.ngp_config.cp,
+                self.ngp_config.fused_block or DEFAULT_BLOCK,
+                interpret=jax.default_backend() != "tpu",
+            )
             coarse = raw2outputs_cf(
                 raw4c, z_coarse, rays_d, noise_std=0.0,
                 white_background=white_bg,

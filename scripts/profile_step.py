@@ -77,6 +77,8 @@ def main():
     ap.add_argument("--table", type=int, default=None)
     ap.add_argument("--quick", action="store_true",
                     help="only measure the full train step, then exit")
+    ap.add_argument("--fused-block", type=int, default=None,
+                    help="override ngp.fused_block for A/B")
     args = ap.parse_args()
 
     import jax
@@ -103,6 +105,9 @@ def main():
     if args.fused_train:
         cfg = cfg.replace(ngp=dataclasses.replace(
             cfg.ngp, fused_train=args.fused_train))
+    if args.fused_block is not None:
+        cfg = cfg.replace(ngp=dataclasses.replace(
+            cfg.ngp, fused_block=args.fused_block))
     if args.fold or args.table:
         cp = dataclasses.replace(
             cfg.ngp.cp,
