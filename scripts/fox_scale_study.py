@@ -59,6 +59,35 @@ VARIANTS = {
     ],
 }
 
+# Round-5 wave (VERDICT r4 #6): next rung of the capacity x batch ladder —
+# one more capacity step at 32k-ray batches over ~8 epochs, seed-checked
+# once. Results go to fox_scale_r5.jsonl; fox_scale_r4.jsonl keeps the
+# round-4 cells (recommitted evidence for the shipped recipe's header).
+R5_VARIANTS = {
+    # Shipped round-4 recipe rerun under the round-5 fused step (anchor
+    # cell: same semantics as r16k_25k_c96_shuf, fresh code path).
+    "r5_anchor_c96": [
+        "nerf.train.num_random_rays=16384",
+        "ngp.n_components=96",
+        "ngp.table_size=256",
+    ],
+    # Capacity step + bigger batch + longer horizon (~8 epochs).
+    "r5_c128_r32k_50k": [
+        "nerf.train.num_random_rays=32768",
+        "ngp.n_components=128",
+        "ngp.table_size=256",
+        "experiment.train_iters=50000",
+    ],
+    # Seed check of the same cell.
+    "r5_c128_r32k_50k_s1": [
+        "nerf.train.num_random_rays=32768",
+        "ngp.n_components=128",
+        "ngp.table_size=256",
+        "experiment.train_iters=50000",
+        "experiment.randomseed=1",
+    ],
+}
+
 
 def done_set():
     done = set()
@@ -75,7 +104,9 @@ def done_set():
 
 def run_one(vid: str) -> dict:
     rid = f"fox_scale_{vid}"
-    logdir = os.path.join("logs", "sweeps", "fox_scale_r4")
+    logdir = os.path.join(
+        "logs", "sweeps",
+        "fox_scale_r5" if vid.startswith("r5_") else "fox_scale_r4")
     rundir = os.path.join(ROOT, logdir, rid)
     cmd = [
         sys.executable, os.path.join(ROOT, "scripts", "exp_train.py"),
@@ -84,7 +115,8 @@ def run_one(vid: str) -> dict:
         "--set", f"experiment.logdir={logdir}",
         "--set", "experiment.validate_every=5000",
         # keep the final checkpoint for val-pose alignment afterwards
-        "--set", "experiment.save_every=25000",
+        "--set", "experiment.save_every=25000" if not vid.startswith("r5_")
+        else "experiment.save_every=50000",
     ] + [a for o in VARIANTS[vid] for a in ("--set", o)]
     t0 = time.perf_counter()
     rc, err, attempts = run_with_wedge_guard(
@@ -107,9 +139,16 @@ def run_one(vid: str) -> dict:
 
 
 def main():
+    global OUT, VARIANTS
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", default=None, choices=list(VARIANTS))
+    ap.add_argument("--wave", default="r4", choices=["r4", "r5"])
+    ap.add_argument("--only", default=None)
     args = ap.parse_args()
+    if args.wave == "r5":
+        VARIANTS = R5_VARIANTS
+        OUT = OUT.replace("fox_scale_r4", "fox_scale_r5")
+    if args.only and args.only not in VARIANTS:
+        raise SystemExit(f"unknown --only {args.only} for wave {args.wave}")
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     done = done_set()
     for vid in VARIANTS:
