@@ -326,6 +326,33 @@ def main() -> None:
                 8e3 / ((time.perf_counter() - t0) * 1e3), 1
             )
 
+        # 1080p-class serving row (VERDICT r4 #5): a 1440² frame carries
+        # the same 2.07M pixels as the reference's 1080×1920 fox frames
+        # (cell 30). Recipe from the round-5 fox operating-curve sweep
+        # (scripts/bigres_render_bench.py --sweep,
+        # logs/sweeps/bigres_render_r5.log).
+        intr14 = ds.intrinsics.scaled(400.0 / 1440.0)  # 400² → 1440²
+        fast14 = engine.make_fast_render_fn(
+            intr14, ds.near, ds.far, ds.use_ndc,
+            settings=FastRenderSettings(
+                num_coarse=48, num_fine=48, fg_fraction=0.2,
+                white_background=cfg.nerf.validation.white_background,
+            ),
+        )
+        std14 = engine.make_render_fn(intr14, ds.near, ds.far, ds.use_ndc,
+                                      settings=val48)
+        fast_img = np.asarray(fast14(p, vpose, state.aux)["rgb"])
+        std_img = np.asarray(std14(p, vpose, state.aux)["rgb"])
+        big["render_fast_vs_std_psnr_1080p_eq"] = round(
+            float(psnr(fast_img, std_img)), 2
+        )
+        t0 = time.perf_counter()
+        outs = [fast14(p, vpose, state.aux)["rgb"] for _ in range(8)]
+        float(jnp.sum(outs[-1]))                 # device-side sync
+        big["render_fast_fps_1080p_eq_device"] = round(
+            8e3 / ((time.perf_counter() - t0) * 1e3), 1
+        )
+
     out = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),

@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--fine", type=int, default=64)
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--out", default="logs/sweeps/bigres_render_r4.log")
+    ap.add_argument("--sweep", action="store_true",
+                    help="run the round-5 (fg x fine) operating-curve grid "
+                         "instead of the single (--fg, --fine) cell")
     args = ap.parse_args()
 
     from nerf_kinematics_tpu.utils.compile_cache import enable_compilation_cache
@@ -73,41 +76,50 @@ def main() -> None:
                                 num_fine=48)
     render = engine.make_render_fn(intr, ds.near, ds.far, ds.use_ndc,
                                    settings=val48)
-    fast = engine.make_fast_render_fn(
-        intr, ds.near, ds.far, ds.use_ndc,
-        settings=FastRenderSettings(
-            num_coarse=48, num_fine=args.fine, fg_fraction=args.fg,
-            white_background=cfg.nerf.validation.white_background,
-        ),
-    )
-
-    res = {"config": args.config, "ckpt_step": int(step),
-           "resolution": f"{H}x{W}", "fg": args.fg, "fine": args.fine}
     std_img = np.asarray(render(p, vpose, state.aux)["rgb"])
-    fast_img = np.asarray(fast(p, vpose, state.aux)["rgb"])
-    res["std_vs_gt_psnr"] = round(float(psnr(std_img, gt)), 2)
-    res["fast_vs_gt_psnr"] = round(float(psnr(fast_img, gt)), 2)
-    res["fast_vs_std_psnr"] = round(float(psnr(fast_img, std_img)), 2)
+    std_gt = round(float(psnr(std_img, gt)), 2)
 
-    for name, fn in (("std", render), ("fast", fast)):
+    t0 = time.perf_counter()
+    outs = [render(p, vpose, state.aux)["rgb"] for _ in range(args.reps)]
+    float(jnp.sum(outs[-1]))
+    std_fps_device = round(args.reps / (time.perf_counter() - t0), 2)
+
+    cells = ([(args.fg, args.fine)] if not args.sweep else
+             [(0.35, 64), (0.2, 48), (0.15, 48), (0.2, 32), (0.15, 32),
+              (0.1, 48)])
+    for fg, fine in cells:
+        fast = engine.make_fast_render_fn(
+            intr, ds.near, ds.far, ds.use_ndc,
+            settings=FastRenderSettings(
+                num_coarse=48, num_fine=fine, fg_fraction=fg,
+                white_background=cfg.nerf.validation.white_background,
+            ),
+        )
+        res = {"config": args.config, "ckpt_step": int(step),
+               "resolution": f"{H}x{W}", "fg": fg, "fine": fine,
+               "std_vs_gt_psnr": std_gt, "std_fps_device": std_fps_device}
+        fast_img = np.asarray(fast(p, vpose, state.aux)["rgb"])
+        res["fast_vs_gt_psnr"] = round(float(psnr(fast_img, gt)), 2)
+        res["fast_vs_std_psnr"] = round(float(psnr(fast_img, std_img)), 2)
+
         t0 = time.perf_counter()
-        outs = [fn(p, vpose, state.aux)["rgb"] for _ in range(args.reps)]
+        outs = [fast(p, vpose, state.aux)["rgb"] for _ in range(args.reps)]
         jax.block_until_ready(outs)
         float(np.asarray(outs[-1]).sum())
-        res[f"{name}_fps_sustained"] = round(
+        res["fast_fps_sustained"] = round(
             args.reps / (time.perf_counter() - t0), 2)
         t0 = time.perf_counter()
-        outs = [fn(p, vpose, state.aux)["rgb"] for _ in range(args.reps)]
+        outs = [fast(p, vpose, state.aux)["rgb"] for _ in range(args.reps)]
         float(jnp.sum(outs[-1]))                    # device-side sync
-        res[f"{name}_fps_device"] = round(
+        res["fast_fps_device"] = round(
             args.reps / (time.perf_counter() - t0), 2)
 
-    line = json.dumps(res)
-    print(line)
-    if args.out:
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
-        with open(args.out, "a") as f:
-            f.write(line + "\n")
+        line = json.dumps(res)
+        print(line, flush=True)
+        if args.out:
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
+            with open(args.out, "a") as f:
+                f.write(line + "\n")
 
 
 if __name__ == "__main__":

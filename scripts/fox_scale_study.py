@@ -31,32 +31,36 @@ from _sweep_util import run_with_wedge_guard
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "logs", "sweeps", "fox_scale_r4.jsonl")
 
-# id -> list of dotted overrides on top of configs/fox_ngp.yml
+# id -> list of dotted overrides on top of configs/fox_ngp.yml.
+# ROUND-5 NOTE: fox_ngp.yml now SHIPS the scaled recipe this study chose
+# (16k rays, C=96/T=256, shuffled), so reproducing the round-4 cells
+# requires explicitly overriding DOWN to the round-3 baseline (4k rays,
+# C=64/T=192, random sampler) for the control cells. Expected values from
+# the round-4 study (config header): baseline 24.93, rays-alone 24.40,
+# steps-alone 24.40, capacity+rays 25.40, +shuffled 25.72.
+_R3_BASE = [
+    "ngp.n_components=64",
+    "ngp.table_size=192",
+    "nerf.train.pixel_sampler=random",
+]
 VARIANTS = {
-    # 4 epochs instead of 1 at unchanged capacity.
-    "r16k_25k": ["nerf.train.num_random_rays=16384"],
-    # 4 epochs + wider CP encoder (capacity check).
-    "r16k_25k_c96": [
-        "nerf.train.num_random_rays=16384",
-        "ngp.n_components=96",
-        "ngp.table_size=256",
-    ],
-    # ~6.5 epochs, unchanged capacity, slower lr decay to match horizon.
-    "r16k_40k": [
+    # Round-3 shipped recipe (the study's baseline).
+    "baseline_r3": _R3_BASE + ["nerf.train.num_random_rays=4096"],
+    # 4 epochs instead of 1 at unchanged capacity: rays alone don't help.
+    "r16k_25k": _R3_BASE + ["nerf.train.num_random_rays=16384"],
+    # ~6.5 epochs, unchanged capacity: steps alone don't help either.
+    "r16k_40k": _R3_BASE + [
         "nerf.train.num_random_rays=16384",
         "experiment.train_iters=40000",
     ],
-    # Shipped round-4 recipe + the shuffled sampler: the machina study
-    # identified without-replacement epoch coverage as the mechanism
-    # (+1.15/+1.37 dB there); fox at 16k rays runs ~3.9 epochs, so the
-    # win should transfer IF the 101.6M-pixel buffer (3.7 GB steady,
-    # ~9 GB transient during the permuted build) fits in the 16 GB HBM.
-    "r16k_25k_c96_shuf": [
+    # 4 epochs + wider CP encoder (capacity matched with batch).
+    "r16k_25k_c96": [
         "nerf.train.num_random_rays=16384",
-        "ngp.n_components=96",
-        "ngp.table_size=256",
-        "nerf.train.pixel_sampler=shuffled",
+        "nerf.train.pixel_sampler=random",
     ],
+    # + the shuffled sampler == the SHIPPED recipe (zero overrides beyond
+    # the ray count the config already carries; kept as the anchor cell).
+    "r16k_25k_c96_shuf": ["nerf.train.num_random_rays=16384"],
 }
 
 # Round-5 wave (VERDICT r4 #6): next rung of the capacity x batch ladder —
