@@ -123,8 +123,12 @@ def run_one(vid: str) -> dict:
         else "experiment.save_every=50000",
     ] + [a for o in VARIANTS[vid] for a in ("--set", o)]
     t0 = time.perf_counter()
+    # The remote compile helper has been observed to take 10-20 min per
+    # fresh program shape (round 5); budget the guard accordingly so slow
+    # compiles aren't mistaken for wedges.
     rc, err, attempts = run_with_wedge_guard(
-        cmd, ROOT, os.path.join(rundir, "metrics.jsonl"), timeout_s=7200)
+        cmd, ROOT, os.path.join(rundir, "metrics.jsonl"), timeout_s=7200,
+        first_beat_s=1500.0, stall_s=1500.0)
     res = {"id": vid, "overrides": VARIANTS[vid], "attempts": attempts,
            "secs": round(time.perf_counter() - t0, 1)}
     if rc != 0:
